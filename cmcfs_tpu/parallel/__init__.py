@@ -1,0 +1,1 @@
+"""TPU-native fluid solver framework."""
