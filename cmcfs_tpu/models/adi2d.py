@@ -1,0 +1,161 @@
+"""2D ADI solver — dense masked reformulation of the reference scheme.
+
+Numerics replicate src/FluidSolver2D/AdiSolver2D.cpp:
+  * per global iteration: X-direction sweep (RHS from cur, writes half),
+    then Y-direction sweep (RHS from half, writes next)  [TimeStep :294-295 —
+    listY holds the X-direction row segments],
+  * per direction: ``num_local`` inner iterations re-averaging a local
+    non-linear layer (SolveDirection :203-226),
+  * interior rows a = -q/(2h) - nu/h^2, b = 1/dt + 2 nu/h^2,
+    c = q/(2h) - nu/h^2, with RHS cur/dt plus the temperature-gradient
+    forcing (U in X pass, V in Y pass) and dissipation heating for T
+    (BuildMatrix :118-178),
+  * Dirichlet / free boundary rows (ApplyBC0/1 :74-116),
+  * global loop runs while (it < num_global) OR (div error > 0.1)
+    (TimeStep :291), with the divergence metric of TimeLayer2D.h:88-102.
+
+Instead of per-segment systems we solve one full-width batched tridiagonal
+system per direction with identity rows decoupling the segments (see
+ops/masks.py) — algebraically identical, and the whole step is one XLA
+program (global loop = lax.while_loop).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.types import NodeType
+from ..ops import stencil
+from ..ops.masks import BC0, BC1, INTERIOR
+from ..ops.tridiag import tridiag_solve
+from .common2d import State2D, GridArrays2D, bc_rows_2d, clear_outer
+
+ERR_THRESHOLD = 0.1        # reference AdiSolver2D.h:24
+MAX_GLOBAL_ITERS = 100     # reference AdiSolver2D.h:25
+
+
+class ParamsArgs(NamedTuple):
+    v_T: jnp.ndarray
+    v_vis: jnp.ndarray
+    t_vis: jnp.ndarray
+    t_phi: jnp.ndarray
+    dx: jnp.ndarray
+    dy: jnp.ndarray
+    start_T: jnp.ndarray
+
+
+def _build_and_solve(axis: int, cur: State2D, temp_local: State2D,
+                     ga: GridArrays2D, dt, pa: ParamsArgs, backend: str,
+                     exact: bool) -> State2D:
+    """One batched (U,V,T) tridiagonal solve along ``axis``."""
+    h = pa.dx if axis == 0 else pa.dy
+    cls = ga.cls_x if axis == 0 else ga.cls_y
+    adv = temp_local.u if axis == 0 else temp_local.v
+
+    inv_dt = 1.0 / dt
+    adv_2h = adv / (2.0 * h)
+
+    v_vis_h2 = pa.v_vis / (h * h)
+    t_vis_h2 = pa.t_vis / (h * h)
+
+    if axis == 0:
+        grad_T = stencil.d1(temp_local.T, pa.dx, 0)
+        diss = stencil.diss_x_2d(temp_local.u, temp_local.v, pa.dx, pa.dy)
+    else:
+        grad_T = stencil.d1(temp_local.T, pa.dy, 1)
+        diss = stencil.diss_y_2d(temp_local.u, temp_local.v, pa.dx, pa.dy)
+
+    interior = cls == INTERIOR
+    is_bc0 = cls == BC0
+    is_bc1 = cls == BC1
+
+    def assemble(vis_h2, d_int, bc_val):
+        a_i = -adv_2h - vis_h2
+        b_i = inv_dt + 2.0 * vis_h2
+        c_i = adv_2h - vis_h2
+        b0, c0, d0, a1, b1, d1 = bc_rows_2d(bc_val, ga.bct)
+        a = jnp.where(interior, a_i, jnp.where(is_bc1, a1, 0.0))
+        b = jnp.where(interior, b_i, jnp.where(is_bc0, b0, jnp.where(is_bc1, b1, 1.0)))
+        c = jnp.where(interior, c_i, jnp.where(is_bc0, c0, 0.0))
+        d = jnp.where(interior, d_int, jnp.where(is_bc0, d0, jnp.where(is_bc1, d1, 0.0)))
+        return a, b, c, d
+
+    d_u = cur.u * inv_dt - (pa.v_T * grad_T if axis == 0 else 0.0)
+    d_v = cur.v * inv_dt - (pa.v_T * grad_T if axis == 1 else 0.0)
+    d_T = cur.T * inv_dt + pa.t_phi * diss
+
+    rows = [assemble(v_vis_h2, d_u, ga.bc_u),
+            assemble(v_vis_h2, d_v, ga.bc_v),
+            assemble(t_vis_h2, d_T, ga.bc_T)]
+    a = jnp.stack([r[0] for r in rows])
+    b = jnp.stack([r[1] for r in rows])
+    c = jnp.stack([r[2] for r in rows])
+    d = jnp.stack([r[3] for r in rows])
+
+    x = tridiag_solve(a, b, c, d, axis=axis + 1, exact=exact, backend=backend)
+    return State2D(u=x[0], v=x[1], T=x[2])
+
+
+def _solve_direction(axis: int, rhs: State2D, temp: State2D, out_layer: State2D,
+                     ga: GridArrays2D, dt, num_local: int, pa: ParamsArgs,
+                     backend: str, exact: bool):
+    """Reference SolveDirection (AdiSolver2D.cpp:203-226)."""
+    is_in = ga.types == NodeType.IN
+
+    def merge(dst: State2D, src: State2D, first: bool) -> State2D:
+        if first:
+            return State2D(*(jnp.where(is_in, s, d) for d, s in zip(dst, src)))
+        return State2D(*(jnp.where(is_in, (d + s) / 2.0, d) for d, s in zip(dst, src)))
+
+    temp_local = temp
+    sol = None
+    for it in range(num_local):
+        sol = _build_and_solve(axis, rhs, temp_local, ga, dt, pa, backend, exact)
+        temp_local = merge(temp_local, sol, first=(it == 0))
+
+    temp_out = State2D(*(jnp.where(is_in, tl, t) for t, tl in zip(temp, temp_local)))
+    next_out = State2D(*(jnp.where(is_in, s, o) for o, s in zip(out_layer, sol)))
+    return temp_out, next_out
+
+
+@functools.partial(jax.jit, static_argnames=("num_local", "backend", "exact"))
+def adi_timestep_2d(cur: State2D, ga: GridArrays2D, dt, num_global, num_local: int,
+                    pa: ParamsArgs, backend: str = "auto", exact: bool = True):
+    """One reference TimeStep (AdiSolver2D.cpp:279-323).
+
+    Returns (new_cur, err, iters).  The global loop is a lax.while_loop with
+    the reference's hybrid condition; the caller checks blow-up host-side
+    (reference exit(1) on err > 10*threshold or >100 iterations).
+    """
+    is_in = ga.types == NodeType.IN
+    next0 = cur
+    half0 = cur
+    temp0 = cur
+
+    err0 = stencil.div_error_2d(cur.u, cur.v, ga.types, pa.dx, pa.dy)
+
+    def cond(carry):
+        it, err, _, _, _ = carry
+        return ((it < num_global) | (err > ERR_THRESHOLD)) & (it < MAX_GLOBAL_ITERS + 2)
+
+    def body(carry):
+        it, err, temp, half, nxt = carry
+        temp, half = _solve_direction(0, cur, temp, half, ga, dt, num_local, pa,
+                                      backend, exact)
+        temp, nxt = _solve_direction(1, half, temp, nxt, ga, dt, num_local, pa,
+                                     backend, exact)
+        err = stencil.div_error_2d(nxt.u, nxt.v, ga.types, pa.dx, pa.dy)
+        # copy on first global iteration, merge-average afterwards (:300-301)
+        temp = State2D(*(jnp.where(is_in,
+                                   jnp.where(it == 0, n, (t + n) / 2.0),
+                                   t) for t, n in zip(temp, nxt)))
+        return it + 1, err, temp, half, nxt
+
+    it, err, temp, half, nxt = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), err0, temp0, half0, next0))
+
+    nxt = clear_outer(nxt, ga, pa.start_T)
+    return nxt, err, it

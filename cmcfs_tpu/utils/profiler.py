@@ -1,0 +1,90 @@
+"""Named-section wall-clock profiler (reference src/Common/Profiler.h).
+
+Per-event count / total / average milliseconds, printed sorted by total time
+in human or CSV form (the reference's CSV flag).  ``sync`` blocks on device
+work (the TPU analogue of the reference's pre-event MPI_Barrier,
+Profiler.h:57-59) so timings attribute correctly despite async dispatch.
+Also exposes jax.profiler trace capture for deep dives.
+"""
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Dict, Optional
+
+
+class _Event:
+    __slots__ = ("count", "total")
+
+    def __init__(self) -> None:
+        self.count = 0
+        self.total = 0.0
+
+
+class Profiler:
+    def __init__(self, sync: bool = True, enabled: bool = True):
+        self.events: Dict[str, _Event] = {}
+        self.sync = sync
+        self.enabled = enabled
+        self._start: Optional[float] = None
+        self._wall_start = time.perf_counter()
+
+    def _sync_devices(self) -> None:
+        if self.sync:
+            try:
+                import jax
+                jax.effects_barrier()
+            except Exception:
+                pass
+
+    def start(self) -> None:
+        if not self.enabled:
+            return
+        self._sync_devices()
+        self._start = time.perf_counter()
+
+    def stop(self, name: str) -> None:
+        if not self.enabled or self._start is None:
+            return
+        self._sync_devices()
+        dt = time.perf_counter() - self._start
+        ev = self.events.setdefault(name, _Event())
+        ev.count += 1
+        ev.total += dt
+        self._start = None
+
+    @contextlib.contextmanager
+    def section(self, name: str):
+        self.start()
+        try:
+            yield
+        finally:
+            self.stop(name)
+
+    def report(self, csv: bool = False) -> str:
+        rows = sorted(self.events.items(), key=lambda kv: -kv[1].total)
+        wall = time.perf_counter() - self._wall_start
+        if csv:
+            out = ["event,count,total_ms,avg_ms"]
+            for name, ev in rows:
+                out.append(f"{name},{ev.count},{ev.total*1e3:.3f},"
+                           f"{ev.total*1e3/max(ev.count,1):.3f}")
+            out.append(f"overall_sec,,{wall:.3f},")
+            return "\n".join(out)
+        out = [f"{'event':<24}{'count':>8}{'total ms':>14}{'avg ms':>12}"]
+        for name, ev in rows:
+            out.append(f"{name:<24}{ev.count:>8}{ev.total*1e3:>14.3f}"
+                       f"{ev.total*1e3/max(ev.count,1):>12.3f}")
+        out.append(f"overall: {wall:.3f} sec")
+        return "\n".join(out)
+
+
+@contextlib.contextmanager
+def jax_trace(logdir: str):
+    """Capture a jax.profiler trace viewable in TensorBoard/Perfetto."""
+    import jax
+    jax.profiler.start_trace(logdir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
