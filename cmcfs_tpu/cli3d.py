@@ -1,0 +1,163 @@
+"""FluidSolver3D command-line driver.
+
+Usage (mirrors reference src/FluidSolver3D/FluidSolver3D.cpp:26-51):
+    fluidsolver3d <input> <output_base> <config> [flags]
+
+Flags: ``align``, ``CSV``, ``backend scan|pallas``, ``quiet``,
+``dump_grid`` (BMP slice stack of the mask, like the reference's
+OutputImage — off by default to keep runs lean).
+The reference's GPU/transpose/decompose/blocking flags configure its
+multi-GPU execution; the TPU equivalents live in cmcfs_tpu.parallel (mesh
+sharding) and are driven by ``shards N``.
+"""
+from __future__ import annotations
+
+import sys
+
+from .core.config import Config
+from .core.params import FluidParams
+from .core.scene2d import Scene2D
+from .core.scene3d import Scene3D, Bathymetry
+from .geom.raster2d import Grid2D
+from .geom.grid3d import Grid3D
+from .io import writers
+from .io.project import find_file
+from .models.solver3d import make_solver_3d
+from .utils.profiler import Profiler
+from .utils.timer import CpuTimer, print_time_step_info
+
+
+def build_grid(cfg: Config, input_path: str, align: bool = False) -> Grid3D:
+    if cfg.in_fmt == "Shape3D":
+        scene = Scene3D.load(input_path, cfg.dx, cfg.dy, cfg.dz, align=align)
+        grid = Grid3D.from_scene3d(scene, cfg.dx, cfg.dy, cfg.dz, cfg.baseT)
+        grid.prepare_shape3d(0.0)
+        grid.bbox_min, grid.bbox_max = scene.bbox_min, scene.bbox_max
+        grid.num_frames = scene.num_frames()
+        grid.cycle_len = cfg.frame_time if cfg.frame_time > 0 else scene.cycle_length()
+    elif cfg.in_fmt == "Shape2D":
+        scene2 = Scene2D.load(input_path, dx=cfg.dx, dy=cfg.dy, align=align)
+        g2 = Grid2D(scene2, start_T=cfg.baseT, bc_noslip=True, bc_strength=0.0)
+        grid = Grid3D.from_extruded_2d(g2, cfg.depth, cfg.depth_var, cfg.dz,
+                                       cfg.baseT, align=align)
+        grid.prepare_extruded(0.0)
+        import numpy as np
+        grid.bbox_min = np.array([scene2.bbox_min[0], scene2.bbox_min[1],
+                                  -cfg.depth], dtype=np.float32)
+        grid.bbox_max = np.array([scene2.bbox_max[0], scene2.bbox_max[1], 0.0],
+                                 dtype=np.float32)
+        grid.num_frames = scene2.num_frames()
+        grid.cycle_len = scene2.cycle_length()
+    else:  # SeaNetCDF
+        bathy = Bathymetry.load(input_path)
+        grid = Grid3D.from_bathymetry(bathy, cfg.dx, cfg.dy, cfg.dz, cfg.baseT,
+                                      cfg.bc_inV, cfg.bc_inT, align=align)
+        grid.prepare_bathymetry(0.0)
+        grid.num_frames = 1
+        grid.cycle_len = cfg.frame_time
+    return grid
+
+
+def run_case(input_path: str, output_base: str, config_path: str,
+             align: bool = False, csv: bool = False, backend: str = "auto",
+             quiet: bool = False, dump_grid: bool = False,
+             max_steps: int | None = None, collect_errs: bool = False):
+    cfg = Config.load(config_path)
+    if cfg.use_normalized_params:
+        params = FluidParams.normalized(cfg.Re, cfg.Pr, cfg.lam)
+    else:
+        params = FluidParams.physical(cfg.viscosity, cfg.density,
+                                      cfg.R_specific, cfg.k, cfg.cv)
+
+    grid = build_grid(cfg, input_path, align=align)
+    n_in, volume = grid.fluid_volume()
+    if not quiet:
+        print(f"Grid = {grid.dimx} x {grid.dimy} x {grid.dimz}")
+        print(f"NODE_IN points = {n_in} of total "
+              f"{grid.dimx * grid.dimy * grid.dimz}, volume = {volume:f}")
+    if dump_grid:
+        from .io.image import mask_to_bmp_stack
+        mask_to_bmp_stack(grid.types, output_base + "_grid_3d")
+
+    solver = make_solver_3d(cfg.solver, backend=backend)
+    solver.init(grid, params)
+
+    frames = grid.num_frames
+    length = grid.cycle_len
+    dt = length / (frames * cfg.time_steps)
+    finaltime = length * cfg.cycles
+
+    depths = getattr(grid, "bathy", None)
+    nc = writers.NetCDF3DOutput(
+        output_base + "_res.nc", grid.bbox_min, grid.bbox_max,
+        dt * cfg.out_time_steps, finaltime, cfg.outdimx, cfg.outdimy,
+        cfg.outdimz, cfg.out_vars, xy_degree_units=cfg.in_fmt == "SeaNetCDF",
+        depths=None if depths is None else depths.depth)
+
+    prof = Profiler()
+    timer = CpuTimer()
+    timer.start()
+
+    errs = []
+    out_layer = 0
+    t = dt
+    i = 0
+    nsteps = 0
+    while t < finaltime:
+        with prof.section("UpdateBoundaries"):
+            solver.update_boundaries()
+        compute_err = (i % 10 == 0) or (t + dt >= finaltime)
+        with prof.section("TimeStep"):
+            solver.time_step(dt, cfg.num_global, cfg.num_local, compute_err)
+        if collect_errs:
+            errs.append(solver.last_err)
+        timer.stop()
+        if not quiet:
+            print(f"\rerr = {solver.last_err:.8f},", end="")
+            print_time_step_info(0, i, t, finaltime, timer.elapsed_sec())
+
+        if i % cfg.out_time_steps == 0:
+            with prof.section("Output"):
+                u, v, w, T = solver.get_layer(cfg.outdimx, cfg.outdimy, cfg.outdimz)
+                nc.write_layer(out_layer, u, v, w, T)
+            out_layer += 1
+        t += dt
+        i += 1
+        nsteps += 1
+        if max_steps is not None and nsteps >= max_steps:
+            break
+
+    if not quiet:
+        print()
+        print(prof.report(csv=csv))
+    return solver, errs
+
+
+def main(argv=None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    flags = {"align": False, "CSV": False, "quiet": False, "dump_grid": False}
+    backend = "auto"
+    rest = []
+    i = 0
+    while i < len(argv):
+        if argv[i] in flags:
+            flags[argv[i]] = True
+        elif argv[i] == "backend" and i + 1 < len(argv):
+            backend = argv[i + 1]
+            i += 1
+        elif argv[i] in ("GPU", "transpose", "decompose", "blocking"):
+            pass  # reference multi-GPU flags; TPU sharding is automatic
+        else:
+            rest.append(argv[i])
+        i += 1
+    if len(rest) < 3:
+        print(__doc__)
+        return 2
+    run_case(find_file(rest[0]), rest[1], find_file(rest[2]),
+             align=flags["align"], csv=flags["CSV"], backend=backend,
+             quiet=flags["quiet"], dump_grid=flags["dump_grid"])
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -179,6 +179,11 @@ class NetCDF3Writer:
                 self.numrecs = rec + 1
                 f.seek(4)
                 f.write(struct.pack(">I", self.numrecs))
+                # keep the file dense: extend to cover the full record block
+                end = self._recs_begin + self.numrecs * self._recsize
+                f.seek(0, 2)
+                if f.tell() < end:
+                    f.truncate(end)
 
 
 # ------------------------------------------------------------------ reader

@@ -1,0 +1,80 @@
+"""Stateful 3D solver wrapper (reference Solver3D/AdiSolver3D lifecycle).
+
+The reference exposes three scheme names for 3D but only implements ADI
+(FluidSolver3D.cpp:177-190 prints "not implemented" for Explicit/Stable);
+we implement ADI and raise the same way for the others.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.params import FluidParams
+from ..geom.grid3d import Grid3D
+from . import adi3d
+from .common3d import (State3D, grid_arrays, init_state, update_boundaries,
+                       get_layer)
+from .solver2d import SolverError
+
+
+class AdiSolver3D:
+    name = "ADI"
+
+    def __init__(self, backend: str = "auto", exact: bool = True):
+        self.backend = backend
+        self.exact = exact
+        self.last_err = 0.0
+
+    def init(self, grid: Grid3D, params: FluidParams) -> None:
+        self.grid = grid
+        self.params = params
+        self.ga = grid_arrays(grid)
+        self.cur = init_state(grid)
+        self.next = self.cur
+        f32 = jnp.float32
+        self.pa = adi3d.ParamsArgs3D(
+            v_T=f32(params.v_T), v_vis=f32(params.v_vis),
+            t_vis=f32(params.t_vis), t_phi=f32(params.t_phi),
+            dx=f32(grid.dx), dy=f32(grid.dy), dz=f32(grid.dz))
+
+    def refresh_grid(self) -> None:
+        self.ga = grid_arrays(self.grid)
+
+    def update_boundaries(self) -> None:
+        # reference also re-seeds next's BOUND/VALVE cells (Solver3D.cpp:28-34)
+        self.cur = update_boundaries(self.cur, self.ga)
+        self.next = update_boundaries(self.next, self.ga)
+
+    def time_step(self, dt: float, num_global: int, num_local: int,
+                  compute_error: bool = True) -> None:
+        nxt, err = adi3d.adi_timestep_3d(
+            self.cur, self.next, self.ga, jnp.float32(dt), num_global, num_local,
+            self.pa, backend=self.backend, exact=self.exact,
+            compute_error=compute_error)
+        if compute_error:
+            self.last_err = float(err)
+            if self.last_err > adi3d.ERR_THRESHOLD:
+                raise SolverError(f"Error is too big! {self.last_err}")
+        # pointer swap (AdiSolver3D.cpp:387-390)
+        self.next = self.cur
+        self.cur = nxt
+
+    def get_layer(self, outdimx: int, outdimy: int, outdimz: int):
+        """Reference Solver3D::GetLayer outputs the ``next`` layer, which after
+        the cur/next swap holds the PRE-step state (Solver3D.cpp:21-25 +
+        AdiSolver3D.cpp:387-390) — an off-by-one we reproduce.  The OUT-cell
+        MISSING_VALUE clear mutates that layer persistently, also reproduced.
+        """
+        import jax.numpy as jnp
+        from ..core.types import NodeType, MISSING_VALUE
+        is_out = self.ga.types == NodeType.OUT
+        cleared = type(self.next)(*(jnp.where(is_out, MISSING_VALUE, f)
+                                    for f in self.next))
+        self.next = cleared
+        return get_layer(cleared, self.ga, outdimx, outdimy, outdimz)
+
+
+def make_solver_3d(name: str, backend: str = "auto", exact: bool = True):
+    if name != "ADI":
+        raise NotImplementedError(f"{name} solver is not implemented yet!")
+    return AdiSolver3D(backend=backend, exact=exact)
