@@ -62,16 +62,16 @@ class AdiSolver3D:
     def get_layer(self, outdimx: int, outdimy: int, outdimz: int):
         """Reference Solver3D::GetLayer outputs the ``next`` layer, which after
         the cur/next swap holds the PRE-step state (Solver3D.cpp:21-25 +
-        AdiSolver3D.cpp:387-390) — an off-by-one we reproduce.  The OUT-cell
-        MISSING_VALUE clear mutates that layer persistently, also reproduced.
+        AdiSolver3D.cpp:387-390) — an off-by-one we reproduce.
+
+        Deliberate deviation: the reference's Clear(OUT -> MISSING_VALUE)
+        mutates the swap buffer persistently, so whether a later divergence
+        check reads 99999-poisoned OUT corners depends on buffer parity (it
+        happens to always land on the clean buffer for the shipped cases).
+        We apply the MISSING clear only to the output copy — identical files,
+        and the error metric always sees clean fields.
         """
-        import jax.numpy as jnp
-        from ..core.types import NodeType, MISSING_VALUE
-        is_out = self.ga.types == NodeType.OUT
-        cleared = type(self.next)(*(jnp.where(is_out, MISSING_VALUE, f)
-                                    for f in self.next))
-        self.next = cleared
-        return get_layer(cleared, self.ga, outdimx, outdimy, outdimz)
+        return get_layer(self.next, self.ga, outdimx, outdimy, outdimz)
 
 
 def make_solver_3d(name: str, backend: str = "auto", exact: bool = True):

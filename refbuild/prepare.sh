@@ -1,0 +1,41 @@
+#!/bin/bash
+# Build the C reference (CPU path, cuda/netcdf stubbed) and stage LF-converted
+# copies of the shipped data plus the parity case configs.
+set -e
+cd "$(dirname "$0")"
+
+make -s
+
+mkdir -p data cases out
+
+for f in /root/reference/data/2D/box_pipe/box_pipe_data.txt \
+         /root/reference/data/2D/heart_US/heart_US_data.txt \
+         /root/reference/data/3D/example_tests/box_pipe/box_pipe_2D_data.txt \
+         /root/reference/data/3D/example_tests/tetra/tetra_data.txt \
+         /root/reference/data/3D/example_tests/non_uniform_pipe/non_uniform_pipe_2D_data.txt; do
+  tr -d '\r' < "$f" > "data/$(basename "$f")"
+done
+cp /root/reference/data/3D/example_tests/white_sea/white_sea_data.nc data/
+python ../scripts/convert_nc.py data/white_sea_data.nc data/white_sea_data.nc.rawnc
+
+# 2D box_pipe with the ADI scheme (shipped config uses Stable)
+sed 's/solver\t\tStable/solver\t\tADI/' /root/reference/data/2D/box_pipe/box_pipe_config.txt \
+  | tr -d '\r' > cases/box_pipe_adi.txt
+
+# 3D extruded box_pipe, shortened to 10 steps, per-step output
+sed -e 's/time_steps\t100/time_steps\t10/' \
+    /root/reference/data/3D/example_tests/box_pipe/box_pipe_2D_config.txt \
+  | tr -d '\r' > cases/box_pipe_3d.txt
+sed 's/out_time_steps \t10/out_time_steps \t1/' cases/box_pipe_3d.txt > cases/box_pipe_3d_out1.txt
+
+# tetra: shipped config lacks out_vars and frame_time (the reference would
+# refuse / run zero steps) — add them
+{ tr -d '\r' < /root/reference/data/3D/example_tests/tetra/tetra_config.txt;
+  printf '\nout_vars\t4 u v w T\nframe_time\t1.0\n'; } > cases/tetra.txt
+
+# white_sea shortened to 10 steps
+sed -e 's/time_steps \t100/time_steps \t10/' \
+    /root/reference/data/3D/example_tests/white_sea/white_sea_config.txt \
+  | tr -d '\r' > cases/white_sea.txt
+
+echo "refbuild ready"
