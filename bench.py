@@ -1,0 +1,114 @@
+"""Benchmark: 3D ADI solver throughput on the shared extruded-box case.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "cell-updates/sec/chip", "vs_baseline": R}
+
+value        = grid_cells * physical_timesteps / wall_seconds on this chip
+               (one physical timestep = num_global x 3 directions x num_local
+               full implicit solves of all 4 variables, reference config 4x2).
+vs_baseline  = value / (same quantity measured for the C reference's CPU
+               build on the identical case; see BASELINE_MEASURED.json,
+               produced by scripts/measure_reference.py).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+ROOT = os.path.dirname(os.path.abspath(__file__))
+
+
+def run_bench(size_dx: float = 0.0041, steps: int = 10, warmup: int = 2,
+              backend: str = "auto", num_global: int = 4, num_local: int = 2,
+              exact: bool = False):
+    import jax
+    import jax.numpy as jnp
+    from cmcfs_tpu.core.config import Config
+    from cmcfs_tpu.core.params import FluidParams
+    from cmcfs_tpu.cli3d import build_grid
+    from cmcfs_tpu.models import adi3d
+    from cmcfs_tpu.models.common3d import grid_arrays, init_state, update_boundaries
+    from scripts.gen_box_case import gen
+
+    case_dir = os.path.join(ROOT, "out", "benchcase")
+    data, cfgp = gen(case_dir, dx=size_dx, time_steps=max(steps, 4),
+                     num_global=num_global, num_local=num_local)
+    cfg = Config.load(cfgp)
+    grid = build_grid(cfg, data)
+    cells = grid.dimx * grid.dimy * grid.dimz
+
+    ga = grid_arrays(grid)
+    cur = init_state(grid)
+    cur = update_boundaries(cur, ga)
+    p = FluidParams.normalized(cfg.Re, cfg.Pr, cfg.lam)
+    pa = adi3d.ParamsArgs3D(*[jnp.float32(x) for x in
+                              (p.v_T, p.v_vis, p.t_vis, p.t_phi,
+                               grid.dx, grid.dy, grid.dz)])
+    dt = jnp.float32(grid.cycle_len / cfg.time_steps)
+
+    def step(state, nxt):
+        new, _ = adi3d.adi_timestep_3d(state, nxt, ga, dt, num_global,
+                                       num_local, pa, backend=backend,
+                                       exact=exact, compute_error=False)
+        return new, state
+
+    state, nxt = cur, cur
+    for _ in range(warmup):
+        state, nxt = step(state, nxt)
+    float(jnp.sum(state[0]))          # force
+    t0 = time.time()
+    for _ in range(steps):
+        state, nxt = step(state, nxt)
+    checksum = float(jnp.sum(state[0]))  # forces execution + fetch
+    wall = time.time() - t0
+    ms_per_step = wall / steps * 1e3
+
+    return dict(
+        dims=(grid.dimx, grid.dimy, grid.dimz),
+        cells=cells,
+        ms_per_step=ms_per_step,
+        cell_updates_per_sec=cells * steps / wall,
+        checksum=checksum,
+        device=str(jax.devices()[0]),
+        backend=backend,
+        num_global=num_global,
+        num_local=num_local,
+    )
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=10)
+    ap.add_argument("--dx", type=float, default=0.0041)
+    ap.add_argument("--backend", default="auto")
+    ap.add_argument("--verbose", action="store_true")
+    args = ap.parse_args()
+
+    res = run_bench(size_dx=args.dx, steps=args.steps, backend=args.backend)
+
+    baseline_path = os.path.join(ROOT, "BASELINE_MEASURED.json")
+    vs = None
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            base = json.load(f)
+        ref_cups = base.get("cell_updates_per_sec_ref_cpu")
+        if ref_cups:
+            vs = res["cell_updates_per_sec"] / ref_cups
+    if vs is None:
+        vs = res["cell_updates_per_sec"] / 5e9   # north-star fallback
+
+    if args.verbose:
+        print(json.dumps(res, indent=2, default=str))
+    d = res["dims"]
+    print(json.dumps({
+        "metric": f"3D ADI {d[0]}x{d[1]}x{d[2]} (ng=4, nl=2) throughput",
+        "value": round(res["cell_updates_per_sec"], 1),
+        "unit": "cell-updates/sec/chip",
+        "vs_baseline": round(vs, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

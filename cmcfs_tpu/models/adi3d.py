@@ -61,7 +61,8 @@ def _bc_rows_3d(val, bc, free_code=BCtype.FREE):
 
 
 def _build_and_solve_3d(axis: int, rhs: State3D, temp: State3D, ga: GridArrays3D,
-                        dt, pa: ParamsArgs3D, backend: str, exact: bool) -> State3D:
+                        dt, pa: ParamsArgs3D, backend: str, exact: bool,
+                        plan=None) -> State3D:
     h = (pa.dx, pa.dy, pa.dz)[axis]
     adv = (temp.u, temp.v, temp.w)[axis]
     adv_2h = adv / (2.0 * h)
@@ -111,8 +112,19 @@ def _build_and_solve_3d(axis: int, rhs: State3D, temp: State3D, ga: GridArrays3D
         b = jnp.stack([r[1] for r in rows])
         c = jnp.stack([r[2] for r in rows])
         d = jnp.stack([r[3] for r in rows])
-        return tridiag_solve(a, b, c, d, axis=axis + 1, exact=exact,
-                             backend=backend)
+        if plan is not None:
+            # X sweep: reshard rows so lines are device-local (all_to_all over
+            # ICI) — the TPU analogue of the reference's transpose option /
+            # pipelined distributed Thomas (AdiSolver3D.cu:524-640).
+            a, b, c, d = (plan.constrain_rows(m, axis) for m in (a, b, c, d))
+        x = tridiag_solve(a, b, c, d, axis=axis + 1, exact=exact,
+                          backend=backend)
+        if plan is not None:
+            x = jax.lax.with_sharding_constraint(
+                x, jax.sharding.NamedSharding(
+                    plan.mesh,
+                    jax.sharding.PartitionSpec(None, plan.axis, None, None)))
+        return x
 
     x = solve_with_cls(ga.cls_a[axis])
     if ga.cls_b[axis] is not None:
@@ -123,12 +135,13 @@ def _build_and_solve_3d(axis: int, rhs: State3D, temp: State3D, ga: GridArrays3D
 
 def _solve_direction_3d(axis: int, rhs: State3D, temp: State3D, out_layer: State3D,
                         ga: GridArrays3D, dt, num_local: int, pa: ParamsArgs3D,
-                        backend: str, exact: bool):
+                        backend: str, exact: bool, plan=None):
     """Reference SolveDirection (AdiSolver3D.cpp:564-666), CPU semantics."""
     is_in = ga.types == NodeType.IN
     out = out_layer
     for _ in range(num_local):
-        sol = _build_and_solve_3d(axis, rhs, temp, ga, dt, pa, backend, exact)
+        sol = _build_and_solve_3d(axis, rhs, temp, ga, dt, pa, backend, exact,
+                                  plan=plan)
         out = State3D(*(jnp.where(is_in, s, o) for o, s in zip(out, sol)))
         temp = State3D(*(jnp.where(is_in, (t + o) / 2.0, t)
                          for t, o in zip(temp, out)))
@@ -137,17 +150,22 @@ def _solve_direction_3d(axis: int, rhs: State3D, temp: State3D, out_layer: State
 
 @functools.partial(jax.jit,
                    static_argnames=("num_global", "num_local", "backend",
-                                    "exact", "compute_error"))
+                                    "exact", "compute_error", "plan"))
 def adi_timestep_3d(cur: State3D, nxt_prev: State3D, ga: GridArrays3D, dt,
                     num_global: int, num_local: int, pa: ParamsArgs3D,
                     backend: str = "auto", exact: bool = True,
-                    compute_error: bool = True):
+                    compute_error: bool = True, plan=None):
     """One reference TimeStep (AdiSolver3D.cpp:306-391).
 
     Returns (new_cur, err).  ``nxt_prev`` is the persistent next layer (the
     reference swaps cur/next pointers each step; only BOUND/VALVE cells of it
     are re-seeded from cur before the sweeps).
     """
+    if plan is not None and backend in ("auto", "pallas"):
+        # under a mesh the tridiagonal solve runs on GSPMD-resharded arrays;
+        # the XLA scan partitions transparently (Pallas would need shard_map)
+        backend = "scan"
+
     is_bv = (ga.types == NodeType.BOUND) | (ga.types == NodeType.VALVE)
     is_in = ga.types == NodeType.IN
 
@@ -157,11 +175,11 @@ def adi_timestep_3d(cur: State3D, nxt_prev: State3D, ga: GridArrays3D, dt,
 
     for _ in range(num_global):
         temp, nxt = _solve_direction_3d(2, cur, temp, nxt, ga, dt, num_local,
-                                        pa, backend, exact)
+                                        pa, backend, exact, plan)
         temp, half = _solve_direction_3d(1, nxt, temp, half, ga, dt, num_local,
-                                         pa, backend, exact)
+                                         pa, backend, exact, plan)
         temp, nxt = _solve_direction_3d(0, half, temp, nxt, ga, dt, num_local,
-                                        pa, backend, exact)
+                                        pa, backend, exact, plan)
         temp = State3D(*(jnp.where(is_in, (t + n) / 2.0, t)
                          for t, n in zip(temp, nxt)))
 

@@ -1,0 +1,98 @@
+"""Device mesh + sharding strategy for the 3D solver.
+
+The reference scales by 1-D X-axis domain decomposition with hand-rolled
+halo exchange (CUDA P2P + MPI, src/Common/GPUplan.cpp / PARAplan.cpp,
+TimeLayer3D.h:158-335) and a pipelined distributed Thomas along X
+(AdiSolver3D.cu:524-640).  TPU-native equivalent:
+
+* one mesh axis ``"x"`` over the grid X dimension; fields are sharded
+  P("x", None, None) — GSPMD turns stencil shifts into ppermute halo
+  exchanges over ICI and reductions into psums,
+* Y/Z sweeps are line-local (the batch axis is the sharded one),
+* the X sweep (global along the sharded axis) is made local by resharding
+  its row arrays to P(None, ..., "x") — an all_to_all over ICI.  This
+  generalizes the reference's ``transpose`` optimization (SURVEY §2.4 item
+  6); XLA inserts the collectives from the sharding constraints.
+
+The ``MGPU_EMU`` analogue (GPUplan.h:10-15, fake 16 GPUs on one device) is a
+host-platform mesh: run the identical SPMD program over N virtual CPU
+devices (tests/conftest.py, __graft_entry__.dryrun_multichip).
+"""
+from __future__ import annotations
+
+import contextlib
+from typing import Optional
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+_ACTIVE: Optional["ShardingPlan"] = None
+
+
+class ShardingPlan:
+    """Sharding specs for one mesh axis over the grid X dimension."""
+
+    def __init__(self, mesh: Mesh, axis: str = "x"):
+        self.mesh = mesh
+        self.axis = axis
+
+    # hashable so jitted solver steps can take the plan as a static arg
+    def __hash__(self):
+        return hash((self.mesh, self.axis))
+
+    def __eq__(self, other):
+        return (isinstance(other, ShardingPlan)
+                and self.mesh == other.mesh and self.axis == other.axis)
+
+    def state_spec(self) -> P:
+        return P(self.axis, None, None)
+
+    def state_sharding(self) -> NamedSharding:
+        return NamedSharding(self.mesh, self.state_spec())
+
+    def shard_state(self, tree):
+        sh = self.state_sharding()
+        return jax.tree.map(lambda a: jax.device_put(a, sh) if hasattr(a, "ndim")
+                            and a.ndim == 3 else a, tree)
+
+    def constrain_rows(self, arr, sweep_axis: int):
+        """Sharding constraint for stacked (vars, nx, ny, nz) row arrays.
+
+        Y/Z sweeps stay X-sharded (batch-parallel); the X sweep resharding
+        moves the split to Z so lines become device-local (all_to_all).
+        """
+        if sweep_axis == 0:
+            spec = P(None, None, None, self.axis)
+        else:
+            spec = P(None, self.axis, None, None)
+        return jax.lax.with_sharding_constraint(
+            arr, NamedSharding(self.mesh, spec))
+
+    def constrain_state(self, arr):
+        return jax.lax.with_sharding_constraint(
+            arr, NamedSharding(self.mesh, P(self.axis, None, None)))
+
+
+def active_plan() -> Optional[ShardingPlan]:
+    return _ACTIVE
+
+
+@contextlib.contextmanager
+def use_mesh(plan: Optional[ShardingPlan]):
+    """Install the plan used by the solver's tracing-time hooks."""
+    global _ACTIVE
+    prev = _ACTIVE
+    _ACTIVE = plan
+    try:
+        yield
+    finally:
+        _ACTIVE = prev
+
+
+def make_x_mesh(n_devices: Optional[int] = None, devices=None) -> ShardingPlan:
+    devs = list(devices if devices is not None else jax.devices())
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    import numpy as np
+    mesh = Mesh(np.array(devs), ("x",))
+    return ShardingPlan(mesh)
