@@ -83,9 +83,11 @@ def _build_and_solve(axis: int, cur: State2D, temp_local: State2D,
         d = jnp.where(interior, d_int, jnp.where(is_bc0, d0, jnp.where(is_bc1, d1, 0.0)))
         return a, b, c, d
 
-    d_u = cur.u * inv_dt - (pa.v_T * grad_T if axis == 0 else 0.0)
-    d_v = cur.v * inv_dt - (pa.v_T * grad_T if axis == 1 else 0.0)
-    d_T = cur.T * inv_dt + pa.t_phi * diss
+    # per-element division matches the reference's f32 rounding
+    # (BuildMatrix: cur->U(i+p,j) / dt, AdiSolver2D.cpp:137)
+    d_u = cur.u / dt - (pa.v_T * grad_T if axis == 0 else 0.0)
+    d_v = cur.v / dt - (pa.v_T * grad_T if axis == 1 else 0.0)
+    d_T = cur.T / dt + pa.t_phi * diss
 
     rows = [assemble(v_vis_h2, d_u, ga.bc_u),
             assemble(v_vis_h2, d_v, ga.bc_v),
