@@ -21,7 +21,7 @@ ROOT = os.path.dirname(os.path.abspath(__file__))
 
 
 def run_bench(size_dx: float = 0.0041, steps: int = 10, warmup: int = 2,
-              backend: str = "auto", num_global: int = 4, num_local: int = 2,
+              backend: str = "fused", num_global: int = 4, num_local: int = 2,
               exact: bool = False):
     import jax
     import jax.numpy as jnp
@@ -82,7 +82,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--dx", type=float, default=0.0041)
-    ap.add_argument("--backend", default="auto")
+    ap.add_argument("--backend", default="fused")
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args()
 

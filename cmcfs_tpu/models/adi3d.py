@@ -90,6 +90,35 @@ def _build_and_solve_3d(axis: int, rhs: State3D, temp: State3D, ga: GridArrays3D
     bc_vals = (ga.val_u, ga.val_v, ga.val_w, ga.val_T)
     bcs = (ga.bc_vel, ga.bc_vel, ga.bc_vel, ga.bc_temp)
 
+    def solve_fused(cls):
+        """One fused build+solve kernel for all 4 vars (ops/pallas_sweep.py)."""
+        from ..ops.pallas_sweep import fused_sweep
+        interior = cls == INTERIOR
+        is_bc0 = cls == BC0
+        is_bc1 = cls == BC1
+        ds = []
+        for vi in range(4):
+            free = bcs[vi] == BCtype.FREE
+            d_bc = jnp.where(free, 0.0, bc_vals[vi])
+            ds.append(jnp.where(interior, d_vars[vi],
+                                jnp.where(is_bc0 | is_bc1, d_bc, 0.0)))
+        d4 = jnp.stack(ds)
+        vis_h2 = pa.v_vis / (h * h)
+        t_h2 = pa.t_vis / (h * h)
+        scal = jnp.stack([vis_h2, t_h2, inv3dt, 1.0 / (2.0 * h)])
+        bcv = ga.bc_vel
+        bct = ga.bc_temp
+        if axis == 2:
+            # Z_as_Y: swap axes 1<->2 around the kernel; XLA fuses these
+            # transposes into the adjacent elementwise ops
+            sw = lambda t: jnp.swapaxes(t, 1, 2)
+            x = fused_sweep(sw(adv), sw(cls), sw(bcv), sw(bct),
+                            jnp.stack([sw(dd) for dd in ds]), scal,
+                            sweep_axis=1, exact=exact)
+            return jnp.swapaxes(x, 2, 3)
+        return fused_sweep(adv, cls, bcv, bct, d4, scal,
+                           sweep_axis=axis, exact=exact)
+
     def solve_with_cls(cls):
         interior = cls == INTERIOR
         is_bc0 = cls == BC0
@@ -126,9 +155,10 @@ def _build_and_solve_3d(axis: int, rhs: State3D, temp: State3D, ga: GridArrays3D
                     jax.sharding.PartitionSpec(None, plan.axis, None, None)))
         return x
 
-    x = solve_with_cls(ga.cls_a[axis])
+    solver = solve_fused if (backend == "fused" and plan is None) else solve_with_cls
+    x = solver(ga.cls_a[axis])
     if ga.cls_b[axis] is not None:
-        x_b = solve_with_cls(ga.cls_b[axis])
+        x_b = solver(ga.cls_b[axis])
         x = jnp.where(ga.take_b[axis][None], x_b, x)
     return State3D(u=x[0], v=x[1], w=x[2], T=x[3])
 
@@ -138,11 +168,16 @@ def _solve_direction_3d(axis: int, rhs: State3D, temp: State3D, out_layer: State
                         backend: str, exact: bool, plan=None):
     """Reference SolveDirection (AdiSolver3D.cpp:564-666), CPU semantics."""
     is_in = ga.types == NodeType.IN
+    # UpdateSegment writes every segment cell INCLUDING the BC endpoints into
+    # the direction's output layer (AdiSolver3D.cpp:707-730); identity rows
+    # (cells outside any segment, e.g. dropped boundary-touching runs) keep
+    # their previous values.
+    written = ga.cls_a[axis] != 0
     out = out_layer
     for _ in range(num_local):
         sol = _build_and_solve_3d(axis, rhs, temp, ga, dt, pa, backend, exact,
                                   plan=plan)
-        out = State3D(*(jnp.where(is_in, s, o) for o, s in zip(out, sol)))
+        out = State3D(*(jnp.where(written, s, o) for o, s in zip(out, sol)))
         temp = State3D(*(jnp.where(is_in, (t + o) / 2.0, t)
                          for t, o in zip(temp, out)))
     return temp, out
@@ -161,7 +196,7 @@ def adi_timestep_3d(cur: State3D, nxt_prev: State3D, ga: GridArrays3D, dt,
     reference swaps cur/next pointers each step; only BOUND/VALVE cells of it
     are re-seeded from cur before the sweeps).
     """
-    if plan is not None and backend in ("auto", "pallas"):
+    if plan is not None and backend in ("auto", "pallas", "fused"):
         # under a mesh the tridiagonal solve runs on GSPMD-resharded arrays;
         # the XLA scan partitions transparently (Pallas would need shard_map)
         backend = "scan"

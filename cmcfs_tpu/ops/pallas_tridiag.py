@@ -29,7 +29,7 @@ LANES = 128
 
 
 def _fwd_kernel(a_ref, b_ref, c_ref, d_ref, cp_ref, dp_ref, carry_c, carry_d,
-                *, n_t: int, exact: bool):
+                *, n_t: int, exact: bool, unroll: bool):
     n_idx = pl.program_id(1)
 
     def body(p, _):
@@ -55,10 +55,14 @@ def _fwd_kernel(a_ref, b_ref, c_ref, d_ref, cp_ref, dp_ref, carry_c, carry_d,
         carry_d[...] = d_new
         return 0
 
-    jax.lax.fori_loop(0, n_t, body, 0)
+    if unroll:
+        for p in range(n_t):   # static row indices: Mosaic schedules flat code
+            body(p, 0)
+    else:
+        jax.lax.fori_loop(0, n_t, body, 0)
 
 
-def _bwd_kernel(cp_ref, dp_ref, x_ref, carry_x, *, n_t: int):
+def _bwd_kernel(cp_ref, dp_ref, x_ref, carry_x, *, n_t: int, unroll: bool):
     n_idx = pl.program_id(1)
 
     def body(q, _):
@@ -73,16 +77,21 @@ def _bwd_kernel(cp_ref, dp_ref, x_ref, carry_x, *, n_t: int):
         carry_x[...] = x
         return 0
 
-    jax.lax.fori_loop(0, n_t, body, 0)
+    if unroll:
+        for q in range(n_t):
+            body(q, 0)
+    else:
+        jax.lax.fori_loop(0, n_t, body, 0)
 
 
 def _ceil_to(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-@functools.partial(jax.jit, static_argnames=("exact", "n_tile", "s_tile"))
+@functools.partial(jax.jit, static_argnames=("exact", "n_tile", "s_tile",
+                                              "unroll"))
 def tridiag_pallas(a, b, c, d, exact: bool = True, n_tile: int = 128,
-                   s_tile: int = 8):
+                   s_tile: int = 8, unroll: bool = False):
     """Solve along the LEADING axis. Inputs (N, ...batch) of f32."""
     orig_shape = a.shape
     N = orig_shape[0]
@@ -119,7 +128,7 @@ def tridiag_pallas(a, b, c, d, exact: bool = True, n_tile: int = 128,
 
     fwd_spec = pl.BlockSpec(blk, lambda s, n: (n, s, 0), memory_space=pltpu.VMEM)
     cp, dp = pl.pallas_call(
-        functools.partial(_fwd_kernel, n_t=n_tile, exact=exact),
+        functools.partial(_fwd_kernel, n_t=n_tile, exact=exact, unroll=unroll),
         grid=(s_chunks, n_chunks),
         in_specs=[fwd_spec] * 4,
         out_specs=(fwd_spec, fwd_spec),
@@ -132,7 +141,7 @@ def tridiag_pallas(a, b, c, d, exact: bool = True, n_tile: int = 128,
     rev_spec = pl.BlockSpec(blk, lambda s, n: (n_chunks - 1 - n, s, 0),
                             memory_space=pltpu.VMEM)
     x3 = pl.pallas_call(
-        functools.partial(_bwd_kernel, n_t=n_tile),
+        functools.partial(_bwd_kernel, n_t=n_tile, unroll=unroll),
         grid=(s_chunks, n_chunks),
         in_specs=[rev_spec, rev_spec],
         out_specs=rev_spec,
