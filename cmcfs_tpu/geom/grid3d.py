@@ -32,6 +32,9 @@ except Exception:  # pragma: no cover
 
 def flood_fill_outside_3d(types: np.ndarray) -> None:
     """6-connectivity wave from (0,0,0) over IN cells -> OUT (Grid3D.cpp:811-852)."""
+    from . import native as _native
+    if _native.flood_fill_3d(types):
+        return
     mask = types == NodeType.IN
     if _ndi is not None:
         st = _ndi.generate_binary_structure(3, 1)

@@ -33,6 +33,9 @@ def flood_fill_outside(types: np.ndarray) -> None:
     4-connectivity.  The seed cell is always marked OUT (reference does
     SetType(0,0,color) unconditionally).
     """
+    from . import native as _native
+    if _native.flood_fill_2d(types):
+        return
     mask = types == NodeType.IN
     if _ndi is not None:
         labels, _ = _ndi.label(mask, structure=_FOUR_CONN)
@@ -175,6 +178,18 @@ class Grid2D:
         self.cur_vel[gi, gj] = vel[nz]
         self.cur_T[gi, gj] = F32(self.start_T)
 
+    def _raster_shape(self, shp, color, bv_field) -> None:
+        from . import native as _native
+        if _native.raster_polyline(self.cur_types, self.cur_bct, self.cur_vel,
+                                   self.cur_T, shp.points, shp.velocities,
+                                   color, self.bc_noslip, self.bc_strength,
+                                   self.start_T, bv_field):
+            return
+        for i in range(len(shp.points) - 1):
+            self._raster_line(shp.points[i], shp.points[i + 1],
+                              shp.velocities[i], shp.velocities[i + 1],
+                              color, bv_field)
+
     def build(self, frame: Frame2D) -> None:
         """Reference Grid2D::Build (Grid2D.cpp:231-266)."""
         self.cur_types.fill(NodeType.IN)
@@ -182,16 +197,10 @@ class Grid2D:
 
         for shp in frame.shapes:          # VALVE pass: active shapes
             if shp.active:
-                for i in range(len(shp.points) - 1):
-                    self._raster_line(shp.points[i], shp.points[i + 1],
-                                      shp.velocities[i], shp.velocities[i + 1],
-                                      NodeType.VALVE, bv_field)
+                self._raster_shape(shp, NodeType.VALVE, bv_field)
         for shp in frame.shapes:          # BOUND pass: passive shapes
             if not shp.active:
-                for i in range(len(shp.points) - 1):
-                    self._raster_line(shp.points[i], shp.points[i + 1],
-                                      shp.velocities[i], shp.velocities[i + 1],
-                                      NodeType.BOUND, bv_field)
+                self._raster_shape(shp, NodeType.BOUND, bv_field)
 
         flood_fill_outside(self.cur_types)
         self._raster_field(frame.field)

@@ -55,6 +55,11 @@ def line_class_2d(types: np.ndarray, axis: int) -> np.ndarray:
     from each side, then advance while the next cell is not IN; a line is
     skipped when the low scan runs off the end.
     """
+    if types.ndim == 2:
+        from ..geom import native
+        nat = native.line_class_2d(np.ascontiguousarray(types), axis)
+        if nat is not None:
+            return nat
     t = _move_axis_last(types, axis)          # (..., N)
     N = t.shape[-1]
     is_in = t == NodeType.IN
@@ -99,6 +104,11 @@ class LineClass3D:
 
 def line_class_3d(types: np.ndarray, axis: int) -> LineClass3D:
     """Row classes for the 3D multi-run scan (Grid3D.cpp:47-127)."""
+    if types.ndim == 3:
+        from ..geom import native
+        nat = native.line_class_3d(np.ascontiguousarray(types), axis)
+        if nat is not None:
+            return LineClass3D(cls_a=nat[0], cls_b=nat[1], take_b=nat[2])
     t = _move_axis_last(types, axis)
     N = t.shape[-1]
     is_in = t == NodeType.IN
@@ -135,6 +145,9 @@ def line_class_3d(types: np.ndarray, axis: int) -> LineClass3D:
 
     cls_a = np.zeros(t.shape, dtype=np.int8)
     cls_a[valid_in] = INTERIOR
+    # an IN cell at position 0 is never a run interior: the scan opens runs
+    # at q>=1, so cell 0 participates only as a BC0 endpoint (Grid3D.cpp:87)
+    cls_a[..., 0] = 0
     cls_a[start_bc] = BC0
     cls_a[end_bc] = BC1        # duals take END role in pass A
 

@@ -39,7 +39,9 @@ def _fwd_kernel(a_ref, b_ref, c_ref, d_ref, cp_ref, dp_ref, carry_c, carry_d,
         di = d_ref[p]
         first = jnp.logical_and(n_idx == 0, p == 0)
         a_eff = jnp.where(first, 0.0, ai)
-        c_prev = carry_c[...]
+        # guard the first-row carry reads: interpreter scratch is NaN-filled
+        # and NaN * 0 would poison the recurrence
+        c_prev = jnp.where(first, 0.0, carry_c[...])
         d_prev = jnp.where(first, 0.0, carry_d[...])
         denom = bi - a_eff * c_prev
         if exact:
