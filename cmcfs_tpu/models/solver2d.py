@@ -68,7 +68,9 @@ class Solver2DBase:
     def _check(self, err: float, iters: int, threshold: float) -> None:
         if iters > adi2d.MAX_GLOBAL_ITERS:
             raise SolverError(f"Exceeded max number of iterations ({adi2d.MAX_GLOBAL_ITERS})")
-        if err > threshold * 10:
+        # NaN-safe: the reference aborts on blow-up (exit(1)); a NaN error
+        # means the state diverged past f32 range and must abort too
+        if not (err <= threshold * 10):
             raise SolverError(f"Error is too big! {err}")
 
     def time_step(self, dt: float, num_global: int, num_local: int) -> None:

@@ -53,7 +53,7 @@ class AdiSolver3D:
             compute_error=compute_error)
         if compute_error:
             self.last_err = float(err)
-            if self.last_err > adi3d.ERR_THRESHOLD:
+            if not (self.last_err <= adi3d.ERR_THRESHOLD):   # NaN-safe
                 raise SolverError(f"Error is too big! {self.last_err}")
         # pointer swap (AdiSolver3D.cpp:387-390)
         self.next = self.cur
