@@ -26,7 +26,8 @@ from .utils.timer import CpuTimer, print_time_step_info
 def run_case(input_path: str, field_path: str, output_path: str, config_path: str,
              align: bool = False, csv: bool = False, backend: str = "auto",
              quiet: bool = False, max_steps: int | None = None,
-             collect_errs: bool = False):
+             collect_errs: bool = False, checkpoint: str | None = None,
+             resume: str | None = None):
     cfg = Config.load(config_path)
     params = FluidParams.physical(cfg.viscosity, cfg.density, cfg.R_specific,
                                   cfg.k, cfg.cv)
@@ -49,6 +50,15 @@ def run_case(input_path: str, field_path: str, output_path: str, config_path: st
     if not quiet:
         print(f"dt = {dt:f}")
 
+    t_resume = 0.0
+    if resume:
+        from .io.checkpoint import load_checkpoint
+        step0, t_resume, fields = load_checkpoint(resume)
+        solver.set_layer(fields["u"], fields["v"], fields["T"])
+        solver.next = solver.cur
+        if not quiet:
+            print(f"Resuming from step {step0}, t={t_resume:f}")
+
     if cfg.out_fmt == "NetCDF":
         writers.output_netcdf_header_2d(output_path, grid.scene.bbox_min,
                                         grid.scene.bbox_max,
@@ -66,6 +76,16 @@ def run_case(input_path: str, field_path: str, output_path: str, config_path: st
     t = dt
     i = 0
     nsteps = 0
+    while t_resume and t <= t_resume + dt * 0.5:
+        # fast-forward the frame/output bookkeeping to the resume point
+        currentframe = scene.frame_at(t)
+        if currentframe != lastframe:
+            if currentframe == 0:
+                currentcycle += 1
+            lastframe = currentframe
+            i = 0
+        t += dt
+        i += 1
     while t < finaltime:
         currentframe = scene.frame_at(t)
         layer_time = scene.layer_time(t)
@@ -115,6 +135,15 @@ def run_case(input_path: str, field_path: str, output_path: str, config_path: st
                               and currentcycle == cfg.cycles)
                     writers.output_netcdf_2d_u(output_path, u, finish)
 
+        if checkpoint and i % cfg.out_time_steps == 0:
+            import numpy as np
+            from .io.checkpoint import save_checkpoint, save_last_layer_txt
+            save_checkpoint(checkpoint, nsteps, t,
+                            u=np.asarray(solver.cur.u), v=np.asarray(solver.cur.v),
+                            T=np.asarray(solver.cur.T))
+            save_last_layer_txt(checkpoint + ".lastlayer.txt", currentframe,
+                                np.asarray(solver.cur.u), np.asarray(solver.cur.v),
+                                np.asarray(solver.cur.T))
         t += dt
         i += 1
         nsteps += 1
@@ -131,6 +160,7 @@ def main(argv=None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     flags = {"align": False, "CSV": False, "quiet": False}
     backend = "auto"
+    extras = {}
     rest = []
     i = 0
     while i < len(argv):
@@ -138,6 +168,9 @@ def main(argv=None) -> int:
             flags[argv[i]] = True
         elif argv[i] == "backend" and i + 1 < len(argv):
             backend = argv[i + 1]
+            i += 1
+        elif argv[i] in ("checkpoint", "resume") and i + 1 < len(argv):
+            extras[argv[i]] = argv[i + 1]
             i += 1
         else:
             rest.append(argv[i])
@@ -161,7 +194,8 @@ def main(argv=None) -> int:
 
     run_case(input_path, field_path, output_path, config_path,
              align=flags["align"], csv=flags["CSV"], backend=backend,
-             quiet=flags["quiet"])
+             quiet=flags["quiet"], checkpoint=extras.get("checkpoint"),
+             resume=extras.get("resume"))
     return 0
 
 

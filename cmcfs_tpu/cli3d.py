@@ -61,7 +61,8 @@ def build_grid(cfg: Config, input_path: str, align: bool = False) -> Grid3D:
 def run_case(input_path: str, output_base: str, config_path: str,
              align: bool = False, csv: bool = False, backend: str = "auto",
              quiet: bool = False, dump_grid: bool = False,
-             max_steps: int | None = None, collect_errs: bool = False):
+             max_steps: int | None = None, collect_errs: bool = False,
+             checkpoint: str | None = None, resume: str | None = None):
     cfg = Config.load(config_path)
     if cfg.use_normalized_params:
         params = FluidParams.normalized(cfg.Re, cfg.Pr, cfg.lam)
@@ -103,6 +104,21 @@ def run_case(input_path: str, output_base: str, config_path: str,
     t = dt
     i = 0
     nsteps = 0
+    if resume:
+        import jax.numpy as jnp
+        from .models.common3d import State3D
+        from .io.checkpoint import load_checkpoint
+        step0, t0, fields = load_checkpoint(resume)
+        solver.cur = State3D(*(jnp.asarray(fields[k]) for k in ("u", "v", "w", "T")))
+        solver.next = State3D(*(jnp.asarray(fields[k])
+                                for k in ("nu", "nv", "nw", "nT")))
+        while t <= t0 + dt * 0.5:
+            t += dt
+            i += 1
+            if (i - 1) % cfg.out_time_steps == 0:
+                out_layer += 1
+        if not quiet:
+            print(f"Resuming from step {step0}, t={t0:f}")
     while t < finaltime:
         with prof.section("UpdateBoundaries"):
             solver.update_boundaries()
@@ -121,6 +137,14 @@ def run_case(input_path: str, output_base: str, config_path: str,
                 u, v, w, T = solver.get_layer(cfg.outdimx, cfg.outdimy, cfg.outdimz)
                 nc.write_layer(out_layer, u, v, w, T)
             out_layer += 1
+        if checkpoint and i % cfg.out_time_steps == 0:
+            import numpy as np
+            from .io.checkpoint import save_checkpoint
+            save_checkpoint(checkpoint, nsteps, t,
+                            u=np.asarray(solver.cur.u), v=np.asarray(solver.cur.v),
+                            w=np.asarray(solver.cur.w), T=np.asarray(solver.cur.T),
+                            nu=np.asarray(solver.next.u), nv=np.asarray(solver.next.v),
+                            nw=np.asarray(solver.next.w), nT=np.asarray(solver.next.T))
         t += dt
         i += 1
         nsteps += 1
@@ -137,6 +161,7 @@ def main(argv=None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     flags = {"align": False, "CSV": False, "quiet": False, "dump_grid": False}
     backend = "auto"
+    extras = {}
     rest = []
     i = 0
     while i < len(argv):
@@ -144,6 +169,9 @@ def main(argv=None) -> int:
             flags[argv[i]] = True
         elif argv[i] == "backend" and i + 1 < len(argv):
             backend = argv[i + 1]
+            i += 1
+        elif argv[i] in ("checkpoint", "resume") and i + 1 < len(argv):
+            extras[argv[i]] = argv[i + 1]
             i += 1
         elif argv[i] in ("GPU", "transpose", "decompose", "blocking"):
             pass  # reference multi-GPU flags; TPU sharding is automatic
@@ -155,7 +183,8 @@ def main(argv=None) -> int:
         return 2
     run_case(find_file(rest[0]), rest[1], find_file(rest[2]),
              align=flags["align"], csv=flags["CSV"], backend=backend,
-             quiet=flags["quiet"], dump_grid=flags["dump_grid"])
+             quiet=flags["quiet"], dump_grid=flags["dump_grid"],
+             checkpoint=extras.get("checkpoint"), resume=extras.get("resume"))
     return 0
 
 

@@ -47,15 +47,20 @@ def load_last_layer_txt(path: str, dimx: int, dimy: int,
 
 
 # ----------------------------------------------------- full-state npz tier
+def _norm(path: str) -> str:
+    return path if path.endswith(".npz") else path + ".npz"
+
+
 def save_checkpoint(path: str, step: int, time: float, **fields) -> None:
     meta = dict(step=int(step), time=float(time),
                 fields=sorted(fields.keys()))
-    np.savez(path, __meta__=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8),
+    np.savez(_norm(path), __meta__=np.frombuffer(json.dumps(meta).encode(),
+                                                 dtype=np.uint8),
              **{k: np.asarray(val) for k, val in fields.items()})
 
 
 def load_checkpoint(path: str):
-    data = np.load(path)
+    data = np.load(_norm(path))
     meta = json.loads(bytes(data["__meta__"]).decode())
     fields = {k: data[k] for k in meta["fields"]}
     return meta["step"], meta["time"], fields

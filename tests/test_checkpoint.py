@@ -1,0 +1,52 @@
+"""Checkpoint/resume: an interrupted run must reproduce the uninterrupted one."""
+import os
+
+import numpy as np
+import pytest
+
+REFBUILD = os.path.join(os.path.dirname(__file__), "..", "refbuild")
+
+needs_data = pytest.mark.skipif(
+    not os.path.exists(os.path.join(REFBUILD, "data", "box_pipe_2D_data.txt")),
+    reason="refbuild/prepare.sh not run")
+
+
+@needs_data
+def test_3d_resume_exact(tmp_path):
+    from cmcfs_tpu.cli3d import run_case
+    from cmcfs_tpu.io.netcdf3 import NetCDF3Reader
+
+    data = os.path.join(REFBUILD, "data", "box_pipe_2D_data.txt")
+    cfg = os.path.join(REFBUILD, "cases", "box_pipe_3d_out1.txt")
+
+    run_case(data, str(tmp_path / "full"), cfg, backend="scan", quiet=True)
+
+    ck = str(tmp_path / "ck")
+    run_case(data, str(tmp_path / "part1"), cfg, backend="scan", quiet=True,
+             max_steps=4, checkpoint=ck)
+    run_case(data, str(tmp_path / "part2"), cfg, backend="scan", quiet=True,
+             resume=ck + ".npz")
+
+    full = NetCDF3Reader(str(tmp_path / "full_res.nc"))
+    part = NetCDF3Reader(str(tmp_path / "part2_res.nc"))
+    u_full = full.read("u")
+    u_part = part.read("u")
+    # resumed run writes records from the resume point onwards
+    np.testing.assert_array_equal(u_part[-1], u_full[-1])
+    np.testing.assert_array_equal(part.read("T")[-1], full.read("T")[-1])
+
+
+def test_legacy_text_layer_roundtrip(tmp_path):
+    from cmcfs_tpu.io.checkpoint import save_last_layer_txt, load_last_layer_txt
+    rng = np.random.default_rng(0)
+    u = rng.normal(size=(6, 5)).astype(np.float32)
+    v = rng.normal(size=(6, 5)).astype(np.float32)
+    T = rng.normal(size=(6, 5)).astype(np.float32)
+    p = str(tmp_path / "layer.txt")
+    save_last_layer_txt(p, 3, u, v, T)
+    frame, u2, v2, T2 = load_last_layer_txt(p, 6, 5, frames=10)
+    assert frame == 3
+    np.testing.assert_allclose(u2, u, atol=1e-6)
+    np.testing.assert_allclose(v2, v, atol=1e-6)
+    # dimension mismatch -> None (reference returns 0)
+    assert load_last_layer_txt(p, 7, 5, frames=10) is None
