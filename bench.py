@@ -20,6 +20,48 @@ import time
 ROOT = os.path.dirname(os.path.abspath(__file__))
 
 
+def run_bench_2d(n: int = 1024, steps: int = 50, backend: str = "auto",
+                 num_global: int = 2, num_local: int = 1, exact: bool = False):
+    """2D 1024^2 metric (BASELINE.md config 2): scan-of-steps inside one jit."""
+    import jax
+    import jax.numpy as jnp
+    from cmcfs_tpu.geom.synthetic import lid_cavity_2d
+    from cmcfs_tpu.models import adi2d
+    from cmcfs_tpu.models.common2d import grid_arrays, init_state
+    from cmcfs_tpu.core.params import FluidParams
+
+    g = lid_cavity_2d(n, n, dx=0.001)
+    ga = grid_arrays(g)
+    cur = init_state(g)
+    p = FluidParams.physical(0.05, 1000.0, 461.495, 0.6, 4200.0)
+    pa = adi2d.ParamsArgs(*[jnp.float32(x) for x in
+                            (p.v_T, p.v_vis, p.t_vis, p.t_phi, g.dx, g.dy, 1.0)])
+    dt = jnp.float32(0.0005)
+
+    def one(state, _):
+        new, err, _it = adi2d.adi_timestep_2d(state, ga, dt, jnp.int32(num_global),
+                                              num_local, pa, backend=backend,
+                                              exact=exact)
+        return new, err
+
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("k_steps",))
+    def run(state, k_steps):
+        return jax.lax.scan(one, state, None, length=k_steps)
+
+    state, errs = run(cur, steps)   # warm (compiles for this length)
+    float(jnp.sum(state.u))
+    t0 = time.time()
+    state, errs = run(state, steps)
+    checksum = float(jnp.sum(state.u))
+    wall = time.time() - t0
+    return dict(dims=(n, n), cells=n * n, ms_per_step=wall / steps * 1e3,
+                cell_updates_per_sec=n * n * steps / wall, checksum=checksum,
+                device=str(jax.devices()[0]), backend=backend,
+                num_global=num_global, num_local=num_local)
+
+
 def run_bench(size_dx: float = 0.0041, steps: int = 10, warmup: int = 2,
               backend: str = "fused", num_global: int = 4, num_local: int = 2,
               exact: bool = False):
@@ -83,10 +125,14 @@ def main():
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--dx", type=float, default=0.0041)
     ap.add_argument("--backend", default="fused")
+    ap.add_argument("--case", default="3d", choices=["3d", "2d1024"])
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args()
 
-    res = run_bench(size_dx=args.dx, steps=args.steps, backend=args.backend)
+    if args.case == "2d1024":
+        res = run_bench_2d(backend="auto")
+    else:
+        res = run_bench(size_dx=args.dx, steps=args.steps, backend=args.backend)
 
     baseline_path = os.path.join(ROOT, "BASELINE_MEASURED.json")
     vs = None
@@ -102,8 +148,10 @@ def main():
     if args.verbose:
         print(json.dumps(res, indent=2, default=str))
     d = res["dims"]
+    dims_s = "x".join(str(x) for x in d)
     print(json.dumps({
-        "metric": f"3D ADI {d[0]}x{d[1]}x{d[2]} (ng=4, nl=2) throughput",
+        "metric": f"{'3D' if len(d) == 3 else '2D'} ADI {dims_s} "
+                  f"(ng={res['num_global']}, nl={res['num_local']}) throughput",
         "value": round(res["cell_updates_per_sec"], 1),
         "unit": "cell-updates/sec/chip",
         "vs_baseline": round(vs, 3),
