@@ -59,11 +59,12 @@ def run_case(input_path: str, field_path: str, output_path: str, config_path: st
         if not quiet:
             print(f"Resuming from step {step0}, t={t_resume:f}")
 
-    if cfg.out_fmt == "NetCDF":
-        writers.output_netcdf_header_2d(output_path, grid.scene.bbox_min,
-                                        grid.scene.bbox_max,
-                                        dt * cfg.out_time_steps, finaltime,
-                                        cfg.outdimx, cfg.outdimy)
+    # the reference writes the CDL header unconditionally, even in MultiVox
+    # mode (FluidSolver2D.cpp:88)
+    writers.output_netcdf_header_2d(output_path, grid.scene.bbox_min,
+                                    grid.scene.bbox_max,
+                                    dt * cfg.out_time_steps, finaltime,
+                                    cfg.outdimx, cfg.outdimy)
     cur_out = output_path
 
     prof = Profiler()
@@ -94,10 +95,11 @@ def run_case(input_path: str, field_path: str, output_path: str, config_path: st
             if currentframe == 0:
                 currentcycle += 1
                 if cfg.out_fmt == "MultiVox":
-                    if currentcycle > 1:
-                        stem, dot, ext = output_path.rpartition(".")
-                        cur_out = f"{stem}_{currentcycle}{dot}{ext}" if dot else \
-                            f"{output_path}_{currentcycle}"
+                    # reference suffixes every cycle incl. the first
+                    # (FluidSolver2D.cpp:106-114: currentcycle > 0)
+                    stem, dot, ext = output_path.rpartition(".")
+                    cur_out = f"{stem}_{currentcycle}{dot}{ext}" if dot else \
+                        f"{output_path}_{currentcycle}"
                     writers.output_multivox_header(
                         cur_out, grid.scene.bbox_min, grid.scene.bbox_max,
                         cfg.outdimx, cfg.outdimy)
