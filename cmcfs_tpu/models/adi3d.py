@@ -155,7 +155,12 @@ def _build_and_solve_3d(axis: int, rhs: State3D, temp: State3D, ga: GridArrays3D
                     jax.sharding.PartitionSpec(None, plan.axis, None, None)))
         return x
 
-    solver = solve_fused if (backend == "fused" and plan is None) else solve_with_cls
+    # the fused kernel keeps whole lines VMEM-resident; beyond ~300 cells the
+    # blocks exceed the budget -> fall back to the two-pass kernel
+    n_sweep = rhs.u.shape[axis]
+    solver = (solve_fused if (backend == "fused" and plan is None
+                              and n_sweep <= 288)
+              else solve_with_cls)
     x = solver(ga.cls_a[axis])
     if ga.cls_b[axis] is not None:
         x_b = solver(ga.cls_b[axis])
