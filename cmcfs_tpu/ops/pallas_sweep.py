@@ -36,7 +36,7 @@ S_TILE = 8
 MAX_LINE = 512
 
 
-def _kernel(scal_ref, adv_ref, cls_ref, bcv_ref, bct_ref, d_ref, x_ref,
+def _kernel(scal_ref, adv_ref, pk_ref, d_ref, x_ref,
             cp_ref, dp_ref, *, n: int, sweep_axis: int, exact: bool):
     v = pl.program_id(2)   # var index innermost: shared blocks stay resident
     v_vis_h2 = scal_ref[0]
@@ -63,8 +63,13 @@ def _kernel(scal_ref, adv_ref, cls_ref, bcv_ref, bct_ref, d_ref, x_ref,
         return d_ref[0, :, p, :]
 
     def build(p):
-        cls = row(cls_ref, p)
-        bc = jnp.where(v == 3, row(bct_ref, p), row(bcv_ref, p))
+        # packed mask: code = cls + 4*bc_vel + 8*bc_temp (f32-exact 0..15)
+        pk = row(pk_ref, p)
+        bct = jnp.floor(pk * 0.125)
+        r = pk - 8.0 * bct
+        bcv = jnp.floor(r * 0.25)
+        cls = r - 4.0 * bcv
+        bc = jnp.where(v == 3, bct, bcv)
         adv = row(adv_ref, p)
         interior = cls == INTERIOR
         is_bc0 = cls == BC0
@@ -134,6 +139,9 @@ def fused_sweep(adv, cls, bcv, bct, d4, scal, sweep_axis: int, exact: bool = Tru
     [v_vis_h2, t_vis_h2, 3/dt, 1/(2h)].  ``sweep_axis`` in {0, 1} — callers
     handle the Z sweep by swapping axes 1<->2 around this call (XLA fuses
     those transposes).  Returns x: (4, A, B, C).
+
+    The three masks travel as one packed f32 array (cls + 4*bc_vel +
+    8*bc_temp) to cut the kernel's strided-DMA input volume.
     """
     A, B, C = adv.shape
     n = (A, B)[sweep_axis]
@@ -148,9 +156,9 @@ def fused_sweep(adv, cls, bcv, bct, d4, scal, sweep_axis: int, exact: bool = Tru
                        constant_values=val)
 
     advp = pad3(adv)
-    clsp = pad3(cls)      # padded rows become identity rows (cls 0)
-    bcvp = pad3(bcv)
-    bctp = pad3(bct)
+    packed = (cls.astype(jnp.float32) + 4.0 * bcv.astype(jnp.float32)
+              + 8.0 * bct.astype(jnp.float32))
+    pkp = pad3(packed)    # padded rows become identity rows (cls 0)
     d4p = jnp.pad(d4, ((0, 0), (0, Ap - A), (0, Bp - B), (0, Cp - C)))
 
     c_chunks = Cp // LANES
@@ -175,16 +183,13 @@ def fused_sweep(adv, cls, bcv, bct, d4, scal, sweep_axis: int, exact: bool = Tru
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),   # scal
             shared,                                   # adv
-            shared,                                   # cls
-            shared,                                   # bcv
-            shared,                                   # bct
+            shared,                                   # packed masks
             per_var,                                  # d4
         ],
         out_specs=per_var,
         out_shape=jax.ShapeDtypeStruct((4, Ap, Bp, Cp), adv.dtype),
         scratch_shapes=[pltpu.VMEM(line_shape, adv.dtype),
                         pltpu.VMEM(line_shape, adv.dtype)],
-    )(scal, advp, clsp.astype(jnp.float32), bcvp.astype(jnp.float32),
-      bctp.astype(jnp.float32), d4p)
+    )(scal, advp, pkp, d4p)
 
     return x[:, :A, :B, :C]
