@@ -91,8 +91,12 @@ def _build_and_solve_3d(axis: int, rhs: State3D, temp: State3D, ga: GridArrays3D
     bcs = (ga.bc_vel, ga.bc_vel, ga.bc_vel, ga.bc_temp)
 
     def solve_fused(cls):
-        """One fused build+solve kernel for all 4 vars (ops/pallas_sweep.py)."""
-        from ..ops.pallas_sweep import fused_sweep
+        """One fused build+solve kernel for all 4 vars (ops/pallas_sweep.py
+        or the manual-DMA variant in ops/pallas_sweep_dma.py)."""
+        if backend == "fused_dma":
+            from ..ops.pallas_sweep_dma import fused_sweep_dma as fused_sweep
+        else:
+            from ..ops.pallas_sweep import fused_sweep
         interior = cls == INTERIOR
         is_bc0 = cls == BC0
         is_bc1 = cls == BC1
@@ -158,7 +162,7 @@ def _build_and_solve_3d(axis: int, rhs: State3D, temp: State3D, ga: GridArrays3D
     # the fused kernel keeps whole lines VMEM-resident; beyond ~300 cells the
     # blocks exceed the budget -> fall back to the two-pass kernel
     n_sweep = rhs.u.shape[axis]
-    solver = (solve_fused if (backend == "fused" and plan is None
+    solver = (solve_fused if (backend in ("fused", "fused_dma") and plan is None
                               and n_sweep <= 288)
               else solve_with_cls)
     x = solver(ga.cls_a[axis])
@@ -201,7 +205,7 @@ def adi_timestep_3d(cur: State3D, nxt_prev: State3D, ga: GridArrays3D, dt,
     reference swaps cur/next pointers each step; only BOUND/VALVE cells of it
     are re-seeded from cur before the sweeps).
     """
-    if plan is not None and backend in ("auto", "pallas", "fused"):
+    if plan is not None and backend in ("auto", "pallas", "fused", "fused_dma"):
         # under a mesh the tridiagonal solve runs on GSPMD-resharded arrays;
         # the XLA scan partitions transparently (Pallas would need shard_map)
         backend = "scan"
