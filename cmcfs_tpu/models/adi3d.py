@@ -127,8 +127,8 @@ def _build_and_solve_3d(axis: int, rhs: State3D, temp: State3D, ga: GridArrays3D
         interior = cls == INTERIOR
         is_bc0 = cls == BC0
         is_bc1 = cls == BC1
-        rows = []
-        for vi in range(4):
+
+        def rows_for(vi):
             vis_h2 = t_vis_h2 if vi == 3 else v_vis_h2
             a_i = -adv_2h - vis_h2
             b_i = inv3dt + 2.0 * vis_h2
@@ -140,23 +140,33 @@ def _build_and_solve_3d(axis: int, rhs: State3D, temp: State3D, ga: GridArrays3D
             c = jnp.where(interior, c_i, jnp.where(is_bc0, c0, 0.0))
             d = jnp.where(interior, d_vars[vi],
                           jnp.where(is_bc0, d0, jnp.where(is_bc1, d1, 0.0)))
-            rows.append((a, b, c, d))
+            return a, b, c, d
+
+        if plan is None:
+            # solve per variable: peak memory is one var's row arrays, which
+            # keeps large single-chip grids (384^3+) inside HBM
+            xs = []
+            for vi in range(4):
+                a, b, c, d = rows_for(vi)
+                xs.append(tridiag_solve(a, b, c, d, axis=axis, exact=exact,
+                                        backend=backend))
+            return jnp.stack(xs)
+
+        rows = [rows_for(vi) for vi in range(4)]
         a = jnp.stack([r[0] for r in rows])
         b = jnp.stack([r[1] for r in rows])
         c = jnp.stack([r[2] for r in rows])
         d = jnp.stack([r[3] for r in rows])
-        if plan is not None:
-            # X sweep: reshard rows so lines are device-local (all_to_all over
-            # ICI) — the TPU analogue of the reference's transpose option /
-            # pipelined distributed Thomas (AdiSolver3D.cu:524-640).
-            a, b, c, d = (plan.constrain_rows(m, axis) for m in (a, b, c, d))
+        # X sweep: reshard rows so lines are device-local (all_to_all over
+        # ICI) — the TPU analogue of the reference's transpose option /
+        # pipelined distributed Thomas (AdiSolver3D.cu:524-640).
+        a, b, c, d = (plan.constrain_rows(m, axis) for m in (a, b, c, d))
         x = tridiag_solve(a, b, c, d, axis=axis + 1, exact=exact,
                           backend=backend)
-        if plan is not None:
-            x = jax.lax.with_sharding_constraint(
-                x, jax.sharding.NamedSharding(
-                    plan.mesh,
-                    jax.sharding.PartitionSpec(None, plan.axis, None, None)))
+        x = jax.lax.with_sharding_constraint(
+            x, jax.sharding.NamedSharding(
+                plan.mesh,
+                jax.sharding.PartitionSpec(None, plan.axis, None, None)))
         return x
 
     # the fused kernel keeps whole lines VMEM-resident; beyond ~300 cells the
