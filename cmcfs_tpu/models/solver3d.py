@@ -1,8 +1,9 @@
-"""Stateful 3D solver wrapper (reference Solver3D/AdiSolver3D lifecycle).
+"""Stateful 3D solver wrappers (reference Solver3D/AdiSolver3D lifecycle).
 
 The reference exposes three scheme names for 3D but only implements ADI
 (FluidSolver3D.cpp:177-190 prints "not implemented" for Explicit/Stable);
-we implement ADI and raise the same way for the others.
+here all three run — Explicit and Stable are TPU-native extensions
+(models/explicit3d.py, models/stable3d.py).
 """
 from __future__ import annotations
 
@@ -11,7 +12,7 @@ import numpy as np
 
 from ..core.params import FluidParams
 from ..geom.grid3d import Grid3D
-from . import adi3d
+from . import adi3d, explicit3d, stable3d
 from .common3d import (State3D, grid_arrays, init_state, update_boundaries,
                        get_layer)
 from .solver2d import SolverError
@@ -74,7 +75,38 @@ class AdiSolver3D:
         return get_layer(self.next, self.ga, outdimx, outdimy, outdimz)
 
 
+class ExplicitSolver3D(AdiSolver3D):
+    name = "Explicit"
+
+    def time_step(self, dt: float, num_global: int, num_local: int,
+                  compute_error: bool = True) -> None:
+        nxt, err = explicit3d.explicit_timestep_3d(
+            self.cur, self.next, self.ga, jnp.float32(dt), num_global,
+            num_local, self.pa, compute_error=compute_error)
+        if compute_error:
+            self.last_err = float(err)
+            if not (self.last_err <= adi3d.ERR_THRESHOLD):
+                raise SolverError(f"Error is too big! {self.last_err}")
+        self.next = self.cur
+        self.cur = nxt
+
+
+class StableSolver3D(AdiSolver3D):
+    name = "Stable"
+
+    def time_step(self, dt: float, num_global: int, num_local: int,
+                  compute_error: bool = True) -> None:
+        nxt, err = stable3d.stable_timestep_3d(
+            self.cur, self.next, self.ga, jnp.float32(dt), num_global,
+            num_local, self.pa, compute_error=compute_error)
+        if compute_error:
+            self.last_err = float(err)
+            if not (self.last_err <= adi3d.ERR_THRESHOLD):
+                raise SolverError(f"Error is too big! {self.last_err}")
+        self.next = self.cur
+        self.cur = nxt
+
+
 def make_solver_3d(name: str, backend: str = "auto", exact: bool = True):
-    if name != "ADI":
-        raise NotImplementedError(f"{name} solver is not implemented yet!")
-    return AdiSolver3D(backend=backend, exact=exact)
+    return {"ADI": AdiSolver3D, "Explicit": ExplicitSolver3D,
+            "Stable": StableSolver3D}[name](backend=backend, exact=exact)
