@@ -7,8 +7,9 @@ Flags: ``align``, ``CSV``, ``backend scan|pallas``, ``quiet``,
 ``dump_grid`` (BMP slice stack of the mask, like the reference's
 OutputImage — off by default to keep runs lean).
 The reference's GPU/transpose/decompose/blocking flags configure its
-multi-GPU execution; the TPU equivalents live in cmcfs_tpu.parallel (mesh
-sharding) and are driven by ``shards N``.
+multi-GPU execution; the TPU equivalent is ``shards N`` — an N-device
+"x" mesh (cmcfs_tpu.parallel) with GSPMD halo exchange and the resharded
+X sweep.
 """
 from __future__ import annotations
 
@@ -62,7 +63,8 @@ def run_case(input_path: str, output_base: str, config_path: str,
              align: bool = False, csv: bool = False, backend: str = "auto",
              quiet: bool = False, dump_grid: bool = False,
              max_steps: int | None = None, collect_errs: bool = False,
-             checkpoint: str | None = None, resume: str | None = None):
+             checkpoint: str | None = None, resume: str | None = None,
+             shards: int = 1):
     cfg = Config.load(config_path)
     if cfg.use_normalized_params:
         params = FluidParams.normalized(cfg.Re, cfg.Pr, cfg.lam)
@@ -82,6 +84,9 @@ def run_case(input_path: str, output_base: str, config_path: str,
 
     solver = make_solver_3d(cfg.solver, backend=backend)
     solver.init(grid, params)
+    if shards > 1:
+        from .parallel.mesh import make_x_mesh
+        solver.set_plan(make_x_mesh(shards))
 
     frames = grid.num_frames
     length = grid.cycle_len
@@ -170,7 +175,7 @@ def main(argv=None) -> int:
         elif argv[i] == "backend" and i + 1 < len(argv):
             backend = argv[i + 1]
             i += 1
-        elif argv[i] in ("checkpoint", "resume") and i + 1 < len(argv):
+        elif argv[i] in ("checkpoint", "resume", "shards") and i + 1 < len(argv):
             extras[argv[i]] = argv[i + 1]
             i += 1
         elif argv[i] in ("GPU", "transpose", "decompose", "blocking"):
@@ -184,7 +189,8 @@ def main(argv=None) -> int:
     run_case(find_file(rest[0]), rest[1], find_file(rest[2]),
              align=flags["align"], csv=flags["CSV"], backend=backend,
              quiet=flags["quiet"], dump_grid=flags["dump_grid"],
-             checkpoint=extras.get("checkpoint"), resume=extras.get("resume"))
+             checkpoint=extras.get("checkpoint"), resume=extras.get("resume"),
+             shards=int(extras.get("shards", 1)))
     return 0
 
 

@@ -25,6 +25,7 @@ class AdiSolver3D:
         self.backend = backend
         self.exact = exact
         self.last_err = 0.0
+        self.plan = None
 
     def init(self, grid: Grid3D, params: FluidParams) -> None:
         self.grid = grid
@@ -37,6 +38,50 @@ class AdiSolver3D:
             v_T=f32(params.v_T), v_vis=f32(params.v_vis),
             t_vis=f32(params.t_vis), t_phi=f32(params.t_phi),
             dx=f32(grid.dx), dy=f32(grid.dy), dz=f32(grid.dz))
+
+    def set_plan(self, plan) -> None:
+        """Shard state/grid over an X mesh (the GPUplan/PARAplan analogue).
+
+        GSPMD shards evenly (unlike the reference's uneven split1D), so the
+        X extent is padded with inert OUT planes (identity rows everywhere;
+        no physics) and cropped again at output time.
+        """
+        import jax
+        import numpy as np
+        from ..core.types import NodeType
+        self.plan = plan
+        n = plan.mesh.devices.size
+        dimx = self.grid.dimx
+        pad = (-dimx) % n
+        self._pad_x = pad
+        if pad:
+            g = self.grid
+            g2types = np.pad(g.types, ((0, pad), (0, 0), (0, 0)),
+                             constant_values=NodeType.OUT)
+            import copy
+            gp = copy.copy(g)
+            gp.types = g2types
+            gp.bc_vel = np.pad(g.bc_vel, ((0, pad), (0, 0), (0, 0)))
+            gp.bc_temp = np.pad(g.bc_temp, ((0, pad), (0, 0), (0, 0)))
+            gp.vel = np.pad(g.vel, ((0, pad), (0, 0), (0, 0), (0, 0)))
+            gp.T = np.pad(g.T, ((0, pad), (0, 0), (0, 0)),
+                          constant_values=np.float32(g.base_T))
+            gp.dimx = dimx + pad
+            self.ga = grid_arrays(gp)
+            self.cur = init_state(gp)
+            self.next = self.cur
+        sh = plan.state_sharding()
+        self.cur = plan.shard_state(self.cur)
+        self.next = plan.shard_state(self.next)
+        self.ga = self.ga._replace(
+            types=jax.device_put(self.ga.types, sh),
+            bc_vel=jax.device_put(self.ga.bc_vel, sh),
+            bc_temp=jax.device_put(self.ga.bc_temp, sh),
+            val_u=jax.device_put(self.ga.val_u, sh),
+            val_v=jax.device_put(self.ga.val_v, sh),
+            val_w=jax.device_put(self.ga.val_w, sh),
+            val_T=jax.device_put(self.ga.val_T, sh),
+            cls_a=tuple(jax.device_put(c, sh) for c in self.ga.cls_a))
 
     def refresh_grid(self) -> None:
         self.ga = grid_arrays(self.grid)
@@ -51,7 +96,7 @@ class AdiSolver3D:
         nxt, err = adi3d.adi_timestep_3d(
             self.cur, self.next, self.ga, jnp.float32(dt), num_global, num_local,
             self.pa, backend=self.backend, exact=self.exact,
-            compute_error=compute_error)
+            compute_error=compute_error, plan=self.plan)
         if compute_error:
             self.last_err = float(err)
             if not (self.last_err <= adi3d.ERR_THRESHOLD):   # NaN-safe
@@ -72,7 +117,12 @@ class AdiSolver3D:
         We apply the MISSING clear only to the output copy — identical files,
         and the error metric always sees clean fields.
         """
-        return get_layer(self.next, self.ga, outdimx, outdimy, outdimz)
+        state, ga = self.next, self.ga
+        pad = getattr(self, "_pad_x", 0)
+        if pad:
+            state = type(state)(*(f[:-pad] for f in state))
+            ga = ga._replace(types=ga.types[:-pad])
+        return get_layer(state, ga, outdimx, outdimy, outdimz)
 
 
 class ExplicitSolver3D(AdiSolver3D):

@@ -61,3 +61,23 @@ def test_entry_compiles():
     fn, args = mod.entry()
     new, err = fn(*args)
     assert np.isfinite(float(err))
+
+
+def test_cli3d_sharded_matches_unsharded(tmp_path):
+    import os
+    REFBUILD = os.path.join(os.path.dirname(__file__), "..", "refbuild")
+    data = os.path.join(REFBUILD, "data", "box_pipe_2D_data.txt")
+    cfg = os.path.join(REFBUILD, "cases", "box_pipe_3d.txt")
+    if not os.path.exists(data):
+        pytest.skip("refbuild/prepare.sh not run")
+    from cmcfs_tpu.cli3d import run_case
+    s1, e1 = run_case(data, str(tmp_path / "sh"), cfg, backend="scan",
+                      quiet=True, max_steps=2, shards=4, collect_errs=True)
+    s0, e0 = run_case(data, str(tmp_path / "un"), cfg, backend="scan",
+                      quiet=True, max_steps=2, collect_errs=True)
+    # dimx=53 padded to 56 with OUT planes; trajectories agree to reduction
+    # rounding
+    u1 = np.asarray(s1.cur.u)[:53]
+    u0 = np.asarray(s0.cur.u)
+    np.testing.assert_allclose(u1, u0, atol=2e-5)
+    assert abs(e1[0] - e0[0]) < 1e-9
