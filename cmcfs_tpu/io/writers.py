@@ -199,3 +199,17 @@ def output_multivox(path: str, u: np.ndarray, v: np.ndarray, time_value: float) 
         for j in range(dimy):
             f.write("".join("%.2f %.2f " % (u[i, j] * 10, v[i, j] * 10)
                             for i in range(dimx)) + "\n")
+
+
+def output_slice_result(path: str, z: int, u3, v3, time_value: float) -> None:
+    """Z-slice of the 3D velocity projected onto XY, MultiVox-style text
+    (reference OutputSliceResult, IO.h:120-134)."""
+    import numpy as np
+    u = np.asarray(u3)
+    v = np.asarray(v3)
+    dimx, dimy = u.shape[0], u.shape[1]
+    with open(path, "a") as f:
+        f.write("%.5f\n" % time_value)
+        for j in range(dimy):
+            f.write("".join("%.2f %.2f " % (u[i, j, z] * 10, v[i, j, z] * 10)
+                            for i in range(dimx)) + "\n")

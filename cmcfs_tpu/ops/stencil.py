@@ -124,3 +124,16 @@ def div_error_3d(u, v, w, types, dx, dy, dz):
     err = jnp.where(mask, jnp.abs(err_x + err_y + err_z), 0.0)
     count = jnp.sum(mask)
     return jnp.sum(err) / jnp.maximum(count, 1)
+
+
+def smooth_masked(f, dest, mask, axes):
+    """Neighbour-averaged smoothing on masked cells (reference
+    ScalarField3D::Smooth, used by the commented-out smoothing pass in
+    AdiSolver3D::TimeStep :359-360): dest = mean of self and face neighbours
+    where mask, else dest unchanged."""
+    acc = f
+    cnt = 1.0
+    for ax in axes:
+        acc = acc + shift(f, 1, ax) + shift(f, -1, ax)
+        cnt += 2.0
+    return jnp.where(mask, acc / cnt, dest)

@@ -112,3 +112,21 @@ def test_white_sea_grid_and_errs(tmp_path):
     ours = r.read("T")[0]
     np.testing.assert_array_equal(ours < 9e4, ref < 9e4)
     np.testing.assert_allclose(ours[ref < 9e4], ref[ref < 9e4], atol=1e-7)
+
+
+@needs_ref
+def test_non_uniform_pipe_grid_and_err(tmp_path):
+    """Extrusion with depth_var paraboloid bottom (Grid3D.cpp:632-641)."""
+    from cmcfs_tpu.core.config import Config
+    from cmcfs_tpu.cli3d import build_grid, run_case
+
+    case = os.path.join(REFBUILD, "cases", "non_uniform_pipe.txt")
+    data = os.path.join(REFBUILD, "data", "non_uniform_pipe_2D_data.txt")
+    cfg = Config.load(case)
+    grid = build_grid(cfg, data)
+    assert (grid.dimx, grid.dimy, grid.dimz) == (53, 53, 52)
+    assert grid.fluid_volume()[0] == 99959     # reference NODE_IN count
+
+    _, errs = run_case(data, str(tmp_path / "nup"), case, backend="scan",
+                       quiet=True, collect_errs=True, max_steps=1)
+    assert abs(errs[0] - 3.432e-5) < 2e-8      # reference printed err
