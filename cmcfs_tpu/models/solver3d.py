@@ -22,6 +22,10 @@ class AdiSolver3D:
     name = "ADI"
 
     def __init__(self, backend: str = "auto", exact: bool = True):
+        if backend == "auto":
+            import jax
+            # fused single-kernel sweeps on TPU; exact-order scan elsewhere
+            backend = "fused_dma" if jax.default_backend() == "tpu" else "scan"
         self.backend = backend
         self.exact = exact
         self.last_err = 0.0
