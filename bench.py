@@ -139,7 +139,9 @@ def main():
     if os.path.exists(baseline_path):
         with open(baseline_path) as f:
             base = json.load(f)
-        ref_cups = base.get("cell_updates_per_sec_ref_cpu")
+        key = ("cell_updates_per_sec_ref_cpu_2d" if args.case == "2d1024"
+               else "cell_updates_per_sec_ref_cpu")
+        ref_cups = base.get(key)
         if ref_cups:
             vs = res["cell_updates_per_sec"] / ref_cups
     if vs is None:

@@ -54,6 +54,41 @@ num_local \t{num_local}
     return data, cfg
 
 
+def gen_2d(outdir: str, dx: float = 0.001, time_steps: int = 4,
+           num_global: int = 2, num_local: int = 1, side_mm: float = 1000.0):
+    """2D box case ~(side/dx)^2 runnable by both implementations."""
+    import os
+    os.makedirs(outdir, exist_ok=True)
+    data = os.path.join(outdir, "box2d_data.txt")
+    cfg = os.path.join(outdir, "box2d_config.txt")
+    with open(data, "w") as f:
+        f.write("1\n1.0\n2\n5\n")
+        s = side_mm
+        for x, y in ((0, 0), (s, 0), (s, s), (0, s), (0, 0)):
+            f.write(f"{x:.1f} {y:.1f}\n")
+        f.write("Passive\n2\n")
+        f.write(f"{0.3*s:.1f} {0.8*s:.1f}\n{0.7*s:.1f} {0.8*s:.1f}\n")
+        f.write("Motion\n100.0 0.0\n")
+    with open(cfg, "w") as f:
+        f.write(f"""dimension\t2D
+viscosity \t0.05
+density \t1000.0
+bc_type\t\tNoSlip
+grid_dx\t\t{dx}
+grid_dy\t\t{dx}
+cycles \t\t1
+time_steps\t{time_steps}
+out_time_steps \t1000000
+out_gridx\t50
+out_gridy \t50
+out_fmt\t\tNetCDF
+solver\t\tADI
+num_global \t{num_global}
+num_local \t{num_local}
+""")
+    return data, cfg
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("outdir")
