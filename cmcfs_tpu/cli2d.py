@@ -55,7 +55,14 @@ def run_case(input_path: str, field_path: str, output_path: str, config_path: st
         from .io.checkpoint import load_checkpoint
         step0, t_resume, fields = load_checkpoint(resume)
         solver.set_layer(fields["u"], fields["v"], fields["T"])
-        solver.next = solver.cur
+        if "nu" in fields:
+            import jax.numpy as jnp
+            from .models.common2d import State2D
+            solver.next = State2D(u=jnp.asarray(fields["nu"]),
+                                  v=jnp.asarray(fields["nv"]),
+                                  T=jnp.asarray(fields["nT"]))
+        else:
+            solver.next = solver.cur
         if not quiet:
             print(f"Resuming from step {step0}, t={t_resume:f}")
 
@@ -142,7 +149,9 @@ def run_case(input_path: str, field_path: str, output_path: str, config_path: st
             from .io.checkpoint import save_checkpoint, save_last_layer_txt
             save_checkpoint(checkpoint, nsteps, t,
                             u=np.asarray(solver.cur.u), v=np.asarray(solver.cur.v),
-                            T=np.asarray(solver.cur.T))
+                            T=np.asarray(solver.cur.T),
+                            nu=np.asarray(solver.next.u), nv=np.asarray(solver.next.v),
+                            nT=np.asarray(solver.next.T))
             save_last_layer_txt(checkpoint + ".lastlayer.txt", currentframe,
                                 np.asarray(solver.cur.u), np.asarray(solver.cur.v),
                                 np.asarray(solver.cur.T))

@@ -32,8 +32,6 @@ from .masks import BC0, BC1, INTERIOR
 
 LANES = 128
 S_TILE = 8
-# full-line VMEM budget: N * S_TILE * LANES * 4B per slab, ~8 live slabs
-MAX_LINE = 512
 
 
 def _kernel(scal_ref, adv_ref, pk_ref, d_ref, x_ref,
