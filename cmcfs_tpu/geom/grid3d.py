@@ -14,8 +14,6 @@ The device solvers never see geometry — only these arrays.
 """
 from __future__ import annotations
 
-from typing import Optional
-
 import numpy as np
 
 from ..core.scene3d import Scene3D, Frame3D, Bathymetry

@@ -1,6 +1,4 @@
 """Native geometry engine vs the NumPy reference implementations."""
-import os
-
 import numpy as np
 import pytest
 

@@ -178,7 +178,6 @@ def test_tridiag_pallas_interpret_matches_scan():
     import jax.numpy as jnp
     from cmcfs_tpu.ops.tridiag import tridiag_solve
     from cmcfs_tpu.ops import pallas_tridiag as pt
-    import functools
     rng = np.random.default_rng(2)
     N, batch = 19, 200   # deliberately unaligned -> exercises padding
     a = rng.normal(size=(N, batch)).astype(np.float32)
@@ -186,10 +185,6 @@ def test_tridiag_pallas_interpret_matches_scan():
     c = rng.normal(size=(N, batch)).astype(np.float32)
     d = rng.normal(size=(N, batch)).astype(np.float32)
     x_scan = np.asarray(tridiag_solve(*map(jnp.array, (a, b, c, d)), backend="scan"))
-    import jax.experimental.pallas as pl
-    with jax.disable_jit():
-        # interpret mode via monkeypatched pallas_call? use interpret context
-        pass
     from jax.experimental.pallas import tpu as pltpu
     with pltpu.force_tpu_interpret_mode():
         x_pl = np.asarray(pt.tridiag_pallas(*map(jnp.array, (a, b, c, d)),
