@@ -81,3 +81,28 @@ def test_cli3d_sharded_matches_unsharded(tmp_path):
     u0 = np.asarray(s0.cur.u)
     np.testing.assert_allclose(u1, u0, atol=2e-5)
     assert abs(e1[0] - e0[0]) < 1e-9
+
+
+def test_pipelined_thomas_matches_scan():
+    """Faithful pipelined distributed Thomas (parallel/pipeline.py) vs the
+    single-device exact solve."""
+    from cmcfs_tpu.ops.tridiag import tridiag_solve
+    from cmcfs_tpu.parallel.mesh import make_x_mesh
+    from cmcfs_tpu.parallel.pipeline import pipelined_tridiag_x
+
+    rng = np.random.default_rng(3)
+    N, batch = 64, 32
+    a = rng.normal(size=(N, batch)).astype(np.float32)
+    b = (rng.normal(size=(N, batch)) + 6.0).astype(np.float32)
+    c = rng.normal(size=(N, batch)).astype(np.float32)
+    d = rng.normal(size=(N, batch)).astype(np.float32)
+    a[0] = 0.0
+    c[-1] = 0.0
+
+    ref = np.asarray(tridiag_solve(*map(jnp.asarray, (a, b, c, d)),
+                                   backend="scan"))
+    plan = make_x_mesh(8)
+    sh = jax.NamedSharding(plan.mesh, jax.sharding.PartitionSpec("x"))
+    args = [jax.device_put(jnp.asarray(m), sh) for m in (a, b, c, d)]
+    x = np.asarray(pipelined_tridiag_x(*args, plan=plan))
+    np.testing.assert_allclose(x, ref, rtol=1e-6, atol=1e-6)
