@@ -82,6 +82,12 @@ def run_bench(size_dx: float = 0.0041, steps: int = 10, warmup: int = 2,
     cells = grid.dimx * grid.dimy * grid.dimz
 
     ga = grid_arrays(grid)
+    import numpy as _np
+    from cmcfs_tpu.core.types import NodeType as _NT
+    from cmcfs_tpu.ops.masks import INTERIOR as _INT
+    is_in = _np.asarray(grid.types) == _NT.IN
+    merge_ok = tuple(bool(((_np.asarray(ga.cls_a[ax]) == _INT) == is_in).all())
+                     for ax in range(3))
     cur = init_state(grid)
     cur = update_boundaries(cur, ga)
     p = FluidParams.normalized(cfg.Re, cfg.Pr, cfg.lam)
@@ -93,7 +99,8 @@ def run_bench(size_dx: float = 0.0041, steps: int = 10, warmup: int = 2,
     def step(state, nxt):
         new, _ = adi3d.adi_timestep_3d(state, nxt, ga, dt, num_global,
                                        num_local, pa, backend=backend,
-                                       exact=exact, compute_error=False)
+                                       exact=exact, compute_error=False,
+                                       merge_ok=merge_ok)
         return new, state
 
     state, nxt = cur, cur

@@ -90,13 +90,8 @@ def _build_and_solve_3d(axis: int, rhs: State3D, temp: State3D, ga: GridArrays3D
     bc_vals = (ga.val_u, ga.val_v, ga.val_w, ga.val_T)
     bcs = (ga.bc_vel, ga.bc_vel, ga.bc_vel, ga.bc_temp)
 
-    def solve_fused(cls):
-        """One fused build+solve kernel for all 4 vars (ops/pallas_sweep.py
-        or the manual-DMA variant in ops/pallas_sweep_dma.py)."""
-        if backend == "fused_dma":
-            from ..ops.pallas_sweep_dma import fused_sweep_dma as fused_sweep
-        else:
-            from ..ops.pallas_sweep import fused_sweep
+    def build_d_folded(cls):
+        """RHS arrays with the BC/identity d-values folded in."""
         interior = cls == INTERIOR
         is_bc0 = cls == BC0
         is_bc1 = cls == BC1
@@ -106,10 +101,23 @@ def _build_and_solve_3d(axis: int, rhs: State3D, temp: State3D, ga: GridArrays3D
             d_bc = jnp.where(free, 0.0, bc_vals[vi])
             ds.append(jnp.where(interior, d_vars[vi],
                                 jnp.where(is_bc0 | is_bc1, d_bc, 0.0)))
-        d4 = jnp.stack(ds)
+        return ds
+
+    def sweep_scal():
         vis_h2 = pa.v_vis / (h * h)
         t_h2 = pa.t_vis / (h * h)
-        scal = jnp.stack([vis_h2, t_h2, inv3dt, 1.0 / (2.0 * h)])
+        return jnp.stack([vis_h2, t_h2, inv3dt, 1.0 / (2.0 * h)])
+
+    def solve_fused(cls):
+        """One fused build+solve kernel for all 4 vars (ops/pallas_sweep.py
+        or the manual-DMA variant in ops/pallas_sweep_dma.py)."""
+        if backend in ("fused_dma", "fused_merge"):
+            from ..ops.pallas_sweep_dma import fused_sweep_dma as fused_sweep
+        else:
+            from ..ops.pallas_sweep import fused_sweep
+        ds = build_d_folded(cls)
+        d4 = jnp.stack(ds)
+        scal = sweep_scal()
         bcv = ga.bc_vel
         bct = ga.bc_temp
         if axis == 2:
@@ -172,8 +180,8 @@ def _build_and_solve_3d(axis: int, rhs: State3D, temp: State3D, ga: GridArrays3D
     # the fused kernel keeps whole lines VMEM-resident; beyond ~300 cells the
     # blocks exceed the budget -> fall back to the two-pass kernel
     n_sweep = rhs.u.shape[axis]
-    solver = (solve_fused if (backend in ("fused", "fused_dma") and plan is None
-                              and n_sweep <= 288)
+    solver = (solve_fused if (backend in ("fused", "fused_dma", "fused_merge")
+                              and plan is None and n_sweep <= 288)
               else solve_with_cls)
     x = solver(ga.cls_a[axis])
     if ga.cls_b[axis] is not None:
@@ -182,10 +190,76 @@ def _build_and_solve_3d(axis: int, rhs: State3D, temp: State3D, ga: GridArrays3D
     return State3D(u=x[0], v=x[1], w=x[2], T=x[3])
 
 
+def _solve_merge_fused(axis: int, rhs: State3D, temp: State3D, out: State3D,
+                       ga: GridArrays3D, dt, pa: ParamsArgs3D, exact: bool):
+    """Full-fusion path: build + solve + UpdateSegment + temp merge in one
+    kernel (ops/pallas_sweep_dma2.py).  Caller guarantees: no duals, interior
+    rows == NODE_IN for this axis, line length within VMEM."""
+    from ..ops.pallas_sweep_dma2 import fused_sweep_merge
+    h = (pa.dx, pa.dy, pa.dz)[axis]
+    adv = (temp.u, temp.v, temp.w)[axis]
+    inv3dt = 3.0 / dt
+    grad_T = stencil.d1(temp.T, h, axis)
+    if axis == 0:
+        diss = stencil.diss_x_3d(temp.u, temp.v, temp.w, pa.dx, pa.dy, pa.dz)
+    elif axis == 1:
+        diss = stencil.diss_y_3d(temp.u, temp.v, temp.w, pa.dx, pa.dy, pa.dz)
+    else:
+        diss = stencil.diss_z_3d(temp.u, temp.v, temp.w, pa.dx, pa.dy, pa.dz)
+
+    cls = ga.cls_a[axis]
+    interior = cls == INTERIOR
+    is_bc = (cls == BC0) | (cls == BC1)
+    bc_vals = (ga.val_u, ga.val_v, ga.val_w, ga.val_T)
+    bcs = (ga.bc_vel, ga.bc_vel, ga.bc_vel, ga.bc_temp)
+    ds = []
+    for vi, f in enumerate((rhs.u, rhs.v, rhs.w, rhs.T)):
+        d = f * inv3dt
+        if vi == axis:
+            d = d - pa.v_T * grad_T
+        if vi == 3:
+            d = rhs.T * inv3dt + pa.t_phi * diss
+        free = bcs[vi] == BCtype.FREE
+        d_bc = jnp.where(free, 0.0, bc_vals[vi])
+        ds.append(jnp.where(interior, d, jnp.where(is_bc, d_bc, 0.0)))
+
+    vis_h2 = pa.v_vis / (h * h)
+    t_h2 = pa.t_vis / (h * h)
+    scal = jnp.stack([vis_h2, t_h2, inv3dt, 1.0 / (2.0 * h)])
+    op4 = jnp.stack(tuple(out))
+    tp4 = jnp.stack(tuple(temp))
+
+    if axis == 2:
+        sw = lambda t: jnp.swapaxes(t, 1, 2)
+        sw4 = lambda t: jnp.swapaxes(t, 2, 3)
+        o4, t4 = fused_sweep_merge(sw(adv), sw(cls), sw(ga.bc_vel),
+                                   sw(ga.bc_temp),
+                                   jnp.stack([sw(dd) for dd in ds]),
+                                   sw4(op4), sw4(tp4), scal,
+                                   sweep_axis=1, exact=exact)
+        o4, t4 = sw4(o4), sw4(t4)
+    else:
+        o4, t4 = fused_sweep_merge(adv, cls, ga.bc_vel, ga.bc_temp,
+                                   jnp.stack(ds), op4, tp4, scal,
+                                   sweep_axis=axis, exact=exact)
+    return (State3D(t4[0], t4[1], t4[2], t4[3]),
+            State3D(o4[0], o4[1], o4[2], o4[3]))
+
+
 def _solve_direction_3d(axis: int, rhs: State3D, temp: State3D, out_layer: State3D,
                         ga: GridArrays3D, dt, num_local: int, pa: ParamsArgs3D,
-                        backend: str, exact: bool, plan=None):
+                        backend: str, exact: bool, plan=None,
+                        merge_ok: bool = False):
     """Reference SolveDirection (AdiSolver3D.cpp:564-666), CPU semantics."""
+    n_sweep = rhs.u.shape[axis]
+    if (backend == "fused_merge" and plan is None and merge_ok
+            and ga.cls_b[axis] is None and n_sweep <= 288):
+        out = out_layer
+        for _ in range(num_local):
+            temp, out = _solve_merge_fused(axis, rhs, temp, out, ga, dt, pa,
+                                           exact)
+        return temp, out
+
     is_in = ga.types == NodeType.IN
     # UpdateSegment writes every segment cell INCLUDING the BC endpoints into
     # the direction's output layer (AdiSolver3D.cpp:707-730); identity rows
@@ -204,18 +278,21 @@ def _solve_direction_3d(axis: int, rhs: State3D, temp: State3D, out_layer: State
 
 @functools.partial(jax.jit,
                    static_argnames=("num_global", "num_local", "backend",
-                                    "exact", "compute_error", "plan"))
+                                    "exact", "compute_error", "plan",
+                                    "merge_ok"))
 def adi_timestep_3d(cur: State3D, nxt_prev: State3D, ga: GridArrays3D, dt,
                     num_global: int, num_local: int, pa: ParamsArgs3D,
                     backend: str = "auto", exact: bool = True,
-                    compute_error: bool = True, plan=None):
+                    compute_error: bool = True, plan=None,
+                    merge_ok: tuple = (False, False, False)):
     """One reference TimeStep (AdiSolver3D.cpp:306-391).
 
     Returns (new_cur, err).  ``nxt_prev`` is the persistent next layer (the
     reference swaps cur/next pointers each step; only BOUND/VALVE cells of it
     are re-seeded from cur before the sweeps).
     """
-    if plan is not None and backend in ("auto", "pallas", "fused", "fused_dma"):
+    if plan is not None and backend in ("auto", "pallas", "fused", "fused_dma",
+                                        "fused_merge"):
         # under a mesh the tridiagonal solve runs on GSPMD-resharded arrays;
         # the XLA scan partitions transparently (Pallas would need shard_map)
         backend = "scan"
@@ -229,11 +306,11 @@ def adi_timestep_3d(cur: State3D, nxt_prev: State3D, ga: GridArrays3D, dt,
 
     for _ in range(num_global):
         temp, nxt = _solve_direction_3d(2, cur, temp, nxt, ga, dt, num_local,
-                                        pa, backend, exact, plan)
+                                        pa, backend, exact, plan, merge_ok[2])
         temp, half = _solve_direction_3d(1, nxt, temp, half, ga, dt, num_local,
-                                         pa, backend, exact, plan)
+                                         pa, backend, exact, plan, merge_ok[1])
         temp, nxt = _solve_direction_3d(0, half, temp, nxt, ga, dt, num_local,
-                                        pa, backend, exact, plan)
+                                        pa, backend, exact, plan, merge_ok[0])
         temp = State3D(*(jnp.where(is_in, (t + n) / 2.0, t)
                          for t, n in zip(temp, nxt)))
 

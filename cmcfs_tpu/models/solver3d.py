@@ -32,9 +32,18 @@ class AdiSolver3D:
         self.plan = None
 
     def init(self, grid: Grid3D, params: FluidParams) -> None:
+        import numpy as np
+        from ..core.types import NodeType
+        from ..ops.masks import INTERIOR
         self.grid = grid
         self.params = params
         self.ga = grid_arrays(grid)
+        # the full-fusion kernel may fold the NODE_IN merges in-kernel only
+        # when interior rows coincide exactly with IN cells for that axis
+        is_in = grid.types == NodeType.IN
+        self.merge_ok = tuple(
+            bool(((np.asarray(self.ga.cls_a[ax]) == INTERIOR) == is_in).all())
+            for ax in range(3))
         self.cur = init_state(grid)
         self.next = self.cur
         f32 = jnp.float32
@@ -100,7 +109,8 @@ class AdiSolver3D:
         nxt, err = adi3d.adi_timestep_3d(
             self.cur, self.next, self.ga, jnp.float32(dt), num_global, num_local,
             self.pa, backend=self.backend, exact=self.exact,
-            compute_error=compute_error, plan=self.plan)
+            compute_error=compute_error, plan=self.plan,
+            merge_ok=getattr(self, "merge_ok", (False, False, False)))
         if compute_error:
             self.last_err = float(err)
             if not (self.last_err <= adi3d.ERR_THRESHOLD):   # NaN-safe
