@@ -212,11 +212,19 @@ class Grid2D:
 
     # ----------------------------------------------------------- prepare
     def prepare(self, time: float) -> None:
-        """Per-step rebuild (Grid2D.cpp:463-478).  Static scenes are cached."""
+        """Per-step rebuild (Grid2D.cpp:463-478).  Static scenes are cached.
+
+        Note: the reference rebuilds single-frame scenes every step by
+        blending the frame with itself, p*(1-s) + p*s, whose result varies
+        by ulps with the substep.  The cache instead builds once at the
+        canonical substep 0 — deterministic across runs and resume points
+        (within one print quantum of the reference's jittering geometry).
+        """
         if self.scene.is_static() and self.bc_noslip:
-            if self._static_built:
-                return
-            self._static_built = True
+            if not self._static_built:
+                self._static_built = True
+                self.build(self.scene.compute_subframe(0, 0.0))
+            return
         frame, substep = self.scene.frame_substep(time)
         self.build(self.scene.compute_subframe(frame, substep))
 

@@ -38,9 +38,9 @@ sed -e 's/time_steps \t100/time_steps \t10/' \
     /root/reference/data/3D/example_tests/white_sea/white_sea_config.txt \
   | tr -d '\r' > cases/white_sea.txt
 
-echo "refbuild ready"
-
 # non_uniform_pipe: shipped only as 2D data + config for the extruded run
 sed -e 's/time_steps\t100/time_steps\t10/' \
     /root/reference/data/3D/example_tests/non_uniform_pipe/non_uniform_pipe_2D_config.txt \
   | tr -d '\r' > cases/non_uniform_pipe.txt
+
+echo "refbuild ready"

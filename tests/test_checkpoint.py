@@ -50,3 +50,23 @@ def test_legacy_text_layer_roundtrip(tmp_path):
     np.testing.assert_allclose(v2, v, atol=1e-6)
     # dimension mismatch -> None (reference returns 0)
     assert load_last_layer_txt(p, 7, 5, frames=10) is None
+
+
+@needs_data
+def test_2d_resume_exact(tmp_path):
+    from cmcfs_tpu.cli2d import run_case
+    from tests.test_parity_2d import parse_cdl_frames
+
+    data = os.path.join(REFBUILD, "data", "box_pipe_data.txt")
+    cfg = os.path.join(REFBUILD, "cases", "box_pipe_adi.txt")
+
+    run_case(data, "", str(tmp_path / "full.nc"), cfg, backend="scan", quiet=True)
+    ck = str(tmp_path / "ck")
+    run_case(data, "", str(tmp_path / "p1.nc"), cfg, backend="scan", quiet=True,
+             max_steps=20, checkpoint=ck)
+    run_case(data, "", str(tmp_path / "p2.nc"), cfg, backend="scan", quiet=True,
+             resume=ck + ".npz")
+
+    full = parse_cdl_frames(str(tmp_path / "full.nc"), 50, 50)
+    part = parse_cdl_frames(str(tmp_path / "p2.nc"), 50, 50)
+    np.testing.assert_array_equal(part[-1], full[-1])
