@@ -130,3 +130,17 @@ def test_non_uniform_pipe_grid_and_err(tmp_path):
     _, errs = run_case(data, str(tmp_path / "nup"), case, backend="scan",
                        quiet=True, collect_errs=True, max_steps=1)
     assert abs(errs[0] - 3.432e-5) < 2e-8      # reference printed err
+
+
+@needs_ref
+def test_align_flag_matches_reference():
+    """32-alignment of grid dims (AlignBy32, Geometry.h:564; align CLI flag).
+    Reference with align: Grid = 64x64x64, NODE_IN = 115248."""
+    from cmcfs_tpu.core.config import Config
+    from cmcfs_tpu.cli3d import build_grid
+
+    cfg = Config.load(os.path.join(REFBUILD, "cases", "box_pipe_3d.txt"))
+    g = build_grid(cfg, os.path.join(REFBUILD, "data", "box_pipe_2D_data.txt"),
+                   align=True)
+    assert (g.dimx, g.dimy, g.dimz) == (64, 64, 64)
+    assert g.fluid_volume()[0] == 115248
