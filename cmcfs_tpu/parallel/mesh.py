@@ -55,6 +55,24 @@ class ShardingPlan:
         return jax.tree.map(lambda a: jax.device_put(a, sh) if hasattr(a, "ndim")
                             and a.ndim == 3 else a, tree)
 
+    def shard_grid(self, ga):
+        """Shard every (nx, ny, nz) grid array — types/bc/val fields and the
+        per-axis line-class arrays incl. cls_b/take_b (the dual-endpoint
+        pass-B path, reference MAX_SEGS_PER_ROW Grid3D.h:43)."""
+        sh = self.state_sharding()
+
+        def put(a):
+            return None if a is None else jax.device_put(a, sh)
+
+        return ga._replace(
+            types=put(ga.types), bc_vel=put(ga.bc_vel), bc_temp=put(ga.bc_temp),
+            val_u=put(ga.val_u), val_v=put(ga.val_v), val_w=put(ga.val_w),
+            val_T=put(ga.val_T),
+            cls_a=tuple(put(c) for c in ga.cls_a),
+            cls_b=tuple(put(c) for c in ga.cls_b),
+            take_b=tuple(put(c) for c in ga.take_b),
+        )
+
     def constrain_rows(self, arr, sweep_axis: int):
         """Sharding constraint for stacked (vars, nx, ny, nz) row arrays.
 
