@@ -64,7 +64,7 @@ def run_case(input_path: str, output_base: str, config_path: str,
              quiet: bool = False, dump_grid: bool = False,
              max_steps: int | None = None, collect_errs: bool = False,
              checkpoint: str | None = None, resume: str | None = None,
-             shards: int = 1):
+             shards: int = 1, nblockz: int = 0):
     cfg = Config.load(config_path)
     if cfg.use_normalized_params:
         params = FluidParams.normalized(cfg.Re, cfg.Pr, cfg.lam)
@@ -86,19 +86,24 @@ def run_case(input_path: str, output_base: str, config_path: str,
     solver.init(grid, params)
     if shards > 1:
         from .parallel.mesh import make_x_mesh
-        solver.set_plan(make_x_mesh(shards))
+        solver.set_plan(make_x_mesh(shards), nblockz=nblockz)
 
     frames = grid.num_frames
     length = grid.cycle_len
     dt = length / (frames * cfg.time_steps)
     finaltime = length * cfg.cycles
 
+    import os
     depths = getattr(grid, "bathy", None)
+    out_path = output_base + "_res.nc"
+    # resuming must append to the existing output (reference appends records,
+    # IO.h:350-388) — recreating it would leave records [0, out_layer) zeroed
     nc = writers.NetCDF3DOutput(
-        output_base + "_res.nc", grid.bbox_min, grid.bbox_max,
+        out_path, grid.bbox_min, grid.bbox_max,
         dt * cfg.out_time_steps, finaltime, cfg.outdimx, cfg.outdimy,
         cfg.outdimz, cfg.out_vars, xy_degree_units=cfg.in_fmt == "SeaNetCDF",
-        depths=None if depths is None else depths.depth)
+        depths=None if depths is None else depths.depth,
+        append=bool(resume) and os.path.exists(out_path))
 
     prof = Profiler()
     timer = CpuTimer()
@@ -178,8 +183,19 @@ def main(argv=None) -> int:
         elif argv[i] in ("checkpoint", "resume", "shards") and i + 1 < len(argv):
             extras[argv[i]] = argv[i + 1]
             i += 1
-        elif argv[i] in ("GPU", "transpose", "decompose", "blocking"):
-            pass  # reference multi-GPU flags; TPU sharding is automatic
+        elif argv[i] == "GPU":
+            # reference grammar: GPU [n] (FluidSolver3D.cpp:26-41); n
+            # accelerators ≙ an n-device mesh here
+            if i + 1 < len(argv) and argv[i + 1].isdigit():
+                extras.setdefault("shards", argv[i + 1])
+                i += 1
+        elif argv[i] == "blocking":
+            # reference grammar: blocking [nBlockZ] (FluidSolver3D.cpp:43-51)
+            if i + 1 < len(argv) and argv[i + 1].isdigit():
+                extras["nblockz"] = argv[i + 1]
+                i += 1
+        elif argv[i] in ("transpose", "decompose"):
+            pass  # layout is handled by XLA relayouts; decompose is vestigial
         else:
             rest.append(argv[i])
         i += 1
@@ -190,7 +206,8 @@ def main(argv=None) -> int:
              align=flags["align"], csv=flags["CSV"], backend=backend,
              quiet=flags["quiet"], dump_grid=flags["dump_grid"],
              checkpoint=extras.get("checkpoint"), resume=extras.get("resume"),
-             shards=int(extras.get("shards", 1)))
+             shards=int(extras.get("shards", 1)),
+             nblockz=int(extras.get("nblockz", 0)))
     return 0
 
 

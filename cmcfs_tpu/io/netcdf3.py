@@ -161,6 +161,25 @@ class NetCDF3Writer:
                 f.write(b"\x00" * fixed)
         self._open = True
 
+    def open_append(self) -> None:
+        """Re-open an existing file written with the identical schema.
+
+        Verifies the on-disk header matches this writer's (modulo the
+        numrecs field), adopts the existing record count and leaves all
+        data in place — so interrupted runs can resume appending records
+        (the reference's append-per-record design, src/Common/IO.h:350-388)
+        without truncating what was already written.
+        """
+        header = self._layout()
+        with open(self.path, "rb") as f:
+            existing = f.read(len(header))
+        if (len(existing) != len(header) or existing[:4] != header[:4]
+                or existing[8:] != header[8:]):
+            raise ValueError(
+                f"{self.path}: incompatible NetCDF header, cannot append")
+        self.numrecs = struct.unpack(">I", existing[4:8])[0]
+        self._open = True
+
     # --------------------------------------------------------------- data
     def put_var(self, name: str, data) -> None:
         v = self.vars[name]

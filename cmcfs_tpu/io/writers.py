@@ -25,7 +25,7 @@ class NetCDF3DOutput:
     def __init__(self, path: str, bbox_min, bbox_max, timestep: float,
                  total_time: float, outdimx: int, outdimy: int, outdimz: int,
                  out_vars: Sequence[str], xy_degree_units: bool = False,
-                 depths: Optional[np.ndarray] = None):
+                 depths: Optional[np.ndarray] = None, append: bool = False):
         self.path = path
         self.out_vars = list(out_vars)
         self.dims = (outdimx, outdimy, outdimz)
@@ -71,6 +71,11 @@ class NetCDF3DOutput:
                 w.def_var("d", NC_FLOAT, ["x", "y"], attrs)
             else:
                 w.def_var(short, NC_DOUBLE, ["t", "x", "y", "z"], attrs)
+        if append:
+            # resume: reopen the partially-written file and keep its records
+            w.open_append()
+            self.w = w
+            return
         w.create()
         self.w = w
 

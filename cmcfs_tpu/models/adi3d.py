@@ -46,6 +46,52 @@ class ParamsArgs3D(NamedTuple):
     dz: jnp.ndarray
 
 
+def _sharded_fused(fused_sweep, plan, args3, d4, scal, kaxis: int,
+                   exact: bool):
+    """Run the fused sweep kernel per shard under shard_map.
+
+    The reference runs its fused CUDA kernels inside the multi-GPU
+    configuration (AdiSolver3D.cu:524-640); the TPU equivalent:
+
+    * Y/Z sweeps — the sharded grid-X axis is a pure batch dim of the
+      kernel, so every shard solves its own lines with zero communication;
+    * X sweep — reshard the split onto the kernel's sublane batch dim
+      (grid Y): an all_to_all over ICI (the TPU form of the reference's
+      transpose option), then solve full-length lines locally, then
+      reshard back to the canonical X split.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    ax = plan.axis
+    n_sh = plan.mesh.shape[ax]
+    pad = 0
+    if kaxis == 0:
+        # pad the to-be-sharded batch dim to divisibility; padded rows are
+        # identity rows (cls 0, d 0) and are cropped after the solve
+        B = args3[0].shape[1]
+        pad = (-B) % n_sh
+        if pad:
+            p3 = ((0, 0), (0, pad), (0, 0))
+            args3 = tuple(jnp.pad(m, p3) for m in args3)
+            d4 = jnp.pad(d4, ((0, 0),) + p3)
+        spec3 = P(None, ax, None)
+    else:
+        spec3 = P(ax, None, None)
+    spec4 = P(None, *spec3)
+
+    @functools.partial(jax.shard_map, mesh=plan.mesh,
+                       in_specs=(spec3, spec3, spec3, spec3, spec4, P(None)),
+                       out_specs=spec4, check_vma=False)
+    def run(adv, cls, bcv, bct, d4_, scal_):
+        return fused_sweep(adv, cls, bcv, bct, d4_, scal_,
+                           sweep_axis=kaxis, exact=exact)
+
+    x = run(*args3, d4, scal)
+    if pad:
+        x = x[:, :, :-pad]
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(plan.mesh, P(None, ax, None, None)))
+
+
 def _bc_rows_3d(val, bc, free_code=BCtype.FREE):
     """3D boundary rows (ApplyBC0/1, AdiSolver3D.cpp:804-852)."""
     free = bc == free_code
@@ -110,13 +156,13 @@ def _build_and_solve_3d(axis: int, rhs: State3D, temp: State3D, ga: GridArrays3D
 
     def solve_fused(cls):
         """One fused build+solve kernel for all 4 vars (ops/pallas_sweep.py
-        or the manual-DMA variant in ops/pallas_sweep_dma.py)."""
-        if backend in ("fused_dma", "fused_merge"):
+        or the manual-DMA variant in ops/pallas_sweep_dma.py); under a mesh
+        the same kernel runs per shard via shard_map."""
+        if backend in ("fused_dma", "fused_merge") and plan is None:
             from ..ops.pallas_sweep_dma import fused_sweep_dma as fused_sweep
         else:
             from ..ops.pallas_sweep import fused_sweep
         ds = build_d_folded(cls)
-        d4 = jnp.stack(ds)
         scal = sweep_scal()
         bcv = ga.bc_vel
         bct = ga.bc_temp
@@ -124,12 +170,19 @@ def _build_and_solve_3d(axis: int, rhs: State3D, temp: State3D, ga: GridArrays3D
             # Z_as_Y: swap axes 1<->2 around the kernel; XLA fuses these
             # transposes into the adjacent elementwise ops
             sw = lambda t: jnp.swapaxes(t, 1, 2)
-            x = fused_sweep(sw(adv), sw(cls), sw(bcv), sw(bct),
-                            jnp.stack([sw(dd) for dd in ds]), scal,
-                            sweep_axis=1, exact=exact)
-            return jnp.swapaxes(x, 2, 3)
-        return fused_sweep(adv, cls, bcv, bct, d4, scal,
-                           sweep_axis=axis, exact=exact)
+            args3 = (sw(adv), sw(cls), sw(bcv), sw(bct))
+            d4 = jnp.stack([sw(dd) for dd in ds])
+            kaxis = 1
+        else:
+            args3 = (adv, cls, bcv, bct)
+            d4 = jnp.stack(ds)
+            kaxis = axis
+        if plan is None:
+            x = fused_sweep(*args3, d4, scal, sweep_axis=kaxis, exact=exact)
+        else:
+            x = _sharded_fused(fused_sweep, plan, args3, d4, scal, kaxis,
+                               exact)
+        return jnp.swapaxes(x, 2, 3) if axis == 2 else x
 
     def solve_with_cls(cls):
         interior = cls == INTERIOR
@@ -181,7 +234,7 @@ def _build_and_solve_3d(axis: int, rhs: State3D, temp: State3D, ga: GridArrays3D
     # blocks exceed the budget -> fall back to the two-pass kernel
     n_sweep = rhs.u.shape[axis]
     solver = (solve_fused if (backend in ("fused", "fused_dma", "fused_merge")
-                              and plan is None and n_sweep <= 288)
+                              and n_sweep <= 288)
               else solve_with_cls)
     x = solver(ga.cls_a[axis])
     if ga.cls_b[axis] is not None:
@@ -291,11 +344,15 @@ def adi_timestep_3d(cur: State3D, nxt_prev: State3D, ga: GridArrays3D, dt,
     reference swaps cur/next pointers each step; only BOUND/VALVE cells of it
     are re-seeded from cur before the sweeps).
     """
-    if plan is not None and backend in ("auto", "pallas", "fused", "fused_dma",
-                                        "fused_merge"):
-        # under a mesh the tridiagonal solve runs on GSPMD-resharded arrays;
-        # the XLA scan partitions transparently (Pallas would need shard_map)
-        backend = "scan"
+    if plan is not None:
+        # Sharded runs use the fused kernel via shard_map (_sharded_fused).
+        # The DMA variants aren't wired for shard_map yet -> plain fused;
+        # the two-pass "pallas" backend would run on GSPMD-sharded row
+        # arrays without a shard_map -> scan.
+        if backend in ("auto", "fused_dma", "fused_merge"):
+            backend = "fused"
+        elif backend == "pallas":
+            backend = "scan"
 
     is_bv = (ga.types == NodeType.BOUND) | (ga.types == NodeType.VALVE)
     is_in = ga.types == NodeType.IN

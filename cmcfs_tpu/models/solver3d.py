@@ -52,7 +52,7 @@ class AdiSolver3D:
             t_vis=f32(params.t_vis), t_phi=f32(params.t_phi),
             dx=f32(grid.dx), dy=f32(grid.dy), dz=f32(grid.dz))
 
-    def set_plan(self, plan) -> None:
+    def set_plan(self, plan, nblockz: int = 0) -> None:
         """Shard state/grid over an X mesh (the GPUplan/PARAplan analogue).
 
         GSPMD shards evenly (unlike the reference's uneven split1D), so the
@@ -63,6 +63,7 @@ class AdiSolver3D:
         import numpy as np
         from ..core.types import NodeType
         self.plan = plan
+        self.nblockz = nblockz
         n = plan.mesh.devices.size
         dimx = self.grid.dimx
         pad = (-dimx) % n
@@ -83,18 +84,9 @@ class AdiSolver3D:
             self.ga = grid_arrays(gp)
             self.cur = init_state(gp)
             self.next = self.cur
-        sh = plan.state_sharding()
         self.cur = plan.shard_state(self.cur)
         self.next = plan.shard_state(self.next)
-        self.ga = self.ga._replace(
-            types=jax.device_put(self.ga.types, sh),
-            bc_vel=jax.device_put(self.ga.bc_vel, sh),
-            bc_temp=jax.device_put(self.ga.bc_temp, sh),
-            val_u=jax.device_put(self.ga.val_u, sh),
-            val_v=jax.device_put(self.ga.val_v, sh),
-            val_w=jax.device_put(self.ga.val_w, sh),
-            val_T=jax.device_put(self.ga.val_T, sh),
-            cls_a=tuple(jax.device_put(c, sh) for c in self.ga.cls_a))
+        self.ga = plan.shard_grid(self.ga)
 
     def refresh_grid(self) -> None:
         self.ga = grid_arrays(self.grid)

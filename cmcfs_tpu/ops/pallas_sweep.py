@@ -178,6 +178,9 @@ def fused_sweep(adv, cls, bcv, bct, d4, scal, sweep_axis: int, exact: bool = Tru
     x = pl.pallas_call(
         functools.partial(_kernel, n=n, sweep_axis=sweep_axis, exact=exact),
         grid=(s_chunks, c_chunks, 4),
+        # virtual CPU meshes (MGPU_EMU analogue) run the same kernel through
+        # the Pallas interpreter, so sharded-fused is testable off-TPU
+        interpret=(jax.default_backend() != "tpu"),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),   # scal
             shared,                                   # adv

@@ -110,6 +110,11 @@ def use_mesh(plan: Optional[ShardingPlan]):
 def make_x_mesh(n_devices: Optional[int] = None, devices=None) -> ShardingPlan:
     devs = list(devices if devices is not None else jax.devices())
     if n_devices is not None:
+        if n_devices > len(devs):
+            raise ValueError(
+                f"requested an {n_devices}-device mesh but only {len(devs)} "
+                f"device(s) are visible (reference errors likewise when GPU n "
+                f"exceeds the machine, GPUplan.cpp:35-50)")
         devs = devs[:n_devices]
     import numpy as np
     mesh = Mesh(np.array(devs), ("x",))

@@ -22,18 +22,21 @@ def test_3d_resume_exact(tmp_path):
     run_case(data, str(tmp_path / "full"), cfg, backend="scan", quiet=True)
 
     ck = str(tmp_path / "ck")
-    run_case(data, str(tmp_path / "part1"), cfg, backend="scan", quiet=True,
+    run_case(data, str(tmp_path / "part"), cfg, backend="scan", quiet=True,
              max_steps=4, checkpoint=ck)
-    run_case(data, str(tmp_path / "part2"), cfg, backend="scan", quiet=True,
+    # resume to the SAME output base: must append to the existing records,
+    # not truncate them (reference appends per record, IO.h:350-388)
+    run_case(data, str(tmp_path / "part"), cfg, backend="scan", quiet=True,
              resume=ck + ".npz")
 
     full = NetCDF3Reader(str(tmp_path / "full_res.nc"))
-    part = NetCDF3Reader(str(tmp_path / "part2_res.nc"))
-    u_full = full.read("u")
-    u_part = part.read("u")
-    # resumed run writes records from the resume point onwards
-    np.testing.assert_array_equal(u_part[-1], u_full[-1])
-    np.testing.assert_array_equal(part.read("T")[-1], full.read("T")[-1])
+    part = NetCDF3Reader(str(tmp_path / "part_res.nc"))
+    np.testing.assert_array_equal(part.read("u"), full.read("u"))
+    np.testing.assert_array_equal(part.read("T"), full.read("T"))
+    # interrupted+resumed output is byte-identical to the uninterrupted run
+    with open(tmp_path / "full_res.nc", "rb") as f1, \
+         open(tmp_path / "part_res.nc", "rb") as f2:
+        assert f1.read() == f2.read()
 
 
 def test_legacy_text_layer_roundtrip(tmp_path):

@@ -51,6 +51,62 @@ def test_sharded_matches_single_device():
     assert abs(float(err) - float(err_ref)) < 1e-9
 
 
+def _baffled_cavity(nx, ny, nz):
+    """Lid cavity with a one-cell BOUND baffle plane at mid-X pierced by a
+    hole: X lines crossing the baffle get dual endpoints (two fluid runs
+    sharing the separating cell), exercising the cls_b two-pass stitch
+    (reference MAX_SEGS_PER_ROW, Grid3D.h:43)."""
+    from cmcfs_tpu.geom.synthetic import lid_cavity_3d
+    from cmcfs_tpu.core.types import NodeType
+
+    grid = lid_cavity_3d(nx, ny, nz)
+    mid = nx // 2
+    grid.types[mid, 2:-2, 2:-2] = NodeType.BOUND
+    grid.types[mid, ny // 2 - 1:ny // 2 + 1, 2:-2] = NodeType.IN  # the hole
+    return grid
+
+
+def test_sharded_fused_matches_scan_with_duals():
+    """shard_map'd fused kernel == GSPMD scan on the 8-mesh, over 3 steps,
+    on a grid with dual endpoints; and sharding must be bitwise-neutral
+    for the fused backend."""
+    from cmcfs_tpu.models import adi3d
+    from cmcfs_tpu.models.common3d import grid_arrays, init_state
+    from cmcfs_tpu.core.params import FluidParams
+    from cmcfs_tpu.parallel.mesh import make_x_mesh
+
+    grid = _baffled_cavity(32, 19, 21)
+    ga = grid_arrays(grid)
+    assert ga.cls_b[0] is not None, "fixture must have dual endpoints"
+    cur = init_state(grid)
+    p = FluidParams.normalized(200.0, 0.72, 1.4)
+    pa = adi3d.ParamsArgs3D(*[jnp.float32(x) for x in
+                              (p.v_T, p.v_vis, p.t_vis, p.t_phi,
+                               grid.dx, grid.dy, grid.dz)])
+    dt = jnp.float32(0.01)
+
+    plan = make_x_mesh(8)
+    cur_s = plan.shard_state(cur)
+    ga_s = plan.shard_grid(ga)
+
+    ref, f1, sc = cur, cur_s, cur_s
+    for _ in range(3):
+        ref, _ = adi3d.adi_timestep_3d(ref, ref, ga, dt, 2, 2, pa,
+                                       backend="fused", compute_error=False)
+        f1, _ = adi3d.adi_timestep_3d(f1, f1, ga_s, dt, 2, 2, pa,
+                                      backend="fused", compute_error=False,
+                                      plan=plan)
+        sc, e_sc = adi3d.adi_timestep_3d(sc, sc, ga_s, dt, 2, 2, pa,
+                                         backend="scan", compute_error=True,
+                                         plan=plan)
+    for r, f in zip(ref, f1):
+        np.testing.assert_array_equal(np.asarray(f), np.asarray(r))
+    for s, f in zip(sc, f1):
+        np.testing.assert_allclose(np.asarray(f), np.asarray(s),
+                                   rtol=2e-5, atol=1e-6)
+    assert np.isfinite(float(e_sc))
+
+
 def test_entry_compiles():
     import importlib.util, os
     spec = importlib.util.spec_from_file_location(
