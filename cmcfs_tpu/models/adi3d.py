@@ -158,7 +158,8 @@ def _build_and_solve_3d(axis: int, rhs: State3D, temp: State3D, ga: GridArrays3D
         """One fused build+solve kernel for all 4 vars (ops/pallas_sweep.py
         or the manual-DMA variant in ops/pallas_sweep_dma.py); under a mesh
         the same kernel runs per shard via shard_map."""
-        if backend in ("fused_dma", "fused_merge") and plan is None:
+        if (backend in ("fused_dma", "fused_merge", "fused_full")
+                and plan is None):
             from ..ops.pallas_sweep_dma import fused_sweep_dma as fused_sweep
         else:
             from ..ops.pallas_sweep import fused_sweep
@@ -218,6 +219,24 @@ def _build_and_solve_3d(axis: int, rhs: State3D, temp: State3D, ga: GridArrays3D
         b = jnp.stack([r[1] for r in rows])
         c = jnp.stack([r[2] for r in rows])
         d = jnp.stack([r[3] for r in rows])
+        if axis == 0 and getattr(plan, "nblockz", 0) > 1:
+            # X sweep via the Z-blocked wavefront pipeline (the reference's
+            # `blocking nBlockZ` mode, AdiSolver3D.cu:642-881): rows stay
+            # X-sharded, carries flow device-to-device per z-block
+            from ..parallel.pipeline import pipelined_tridiag_x_blocked
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            m4 = [jnp.moveaxis(m, 1, 0) for m in (a, b, c, d)]
+            m4 = [jax.lax.with_sharding_constraint(
+                      m, NamedSharding(plan.mesh,
+                                       P(plan.axis, None, None, None)))
+                  for m in m4]
+            x = pipelined_tridiag_x_blocked(*m4, plan=plan,
+                                            nblockz=plan.nblockz, exact=exact)
+            x = jnp.moveaxis(x, 0, 1)
+            return jax.lax.with_sharding_constraint(
+                x, jax.sharding.NamedSharding(
+                    plan.mesh,
+                    jax.sharding.PartitionSpec(None, plan.axis, None, None)))
         # X sweep: reshard rows so lines are device-local (all_to_all over
         # ICI) — the TPU analogue of the reference's transpose option /
         # pipelined distributed Thomas (AdiSolver3D.cu:524-640).
@@ -233,8 +252,11 @@ def _build_and_solve_3d(axis: int, rhs: State3D, temp: State3D, ga: GridArrays3D
     # the fused kernel keeps whole lines VMEM-resident; beyond ~300 cells the
     # blocks exceed the budget -> fall back to the two-pass kernel
     n_sweep = rhs.u.shape[axis]
-    solver = (solve_fused if (backend in ("fused", "fused_dma", "fused_merge")
-                              and n_sweep <= 288)
+    wavefront_x = (axis == 0 and plan is not None
+                   and getattr(plan, "nblockz", 0) > 1)
+    solver = (solve_fused if (backend in ("fused", "fused_dma", "fused_merge",
+                                          "fused_full")
+                              and n_sweep <= 288 and not wavefront_x)
               else solve_with_cls)
     x = solver(ga.cls_a[axis])
     if ga.cls_b[axis] is not None:
@@ -299,18 +321,57 @@ def _solve_merge_fused(axis: int, rhs: State3D, temp: State3D, out: State3D,
             State3D(o4[0], o4[1], o4[2], o4[3]))
 
 
+def _solve_stream_fused(axis: int, rhs: State3D, temp: State3D, out: State3D,
+                        ga: GridArrays3D, dt, pa: ParamsArgs3D, exact: bool):
+    """Streamed full-fusion path: in-kernel RHS build + solve + UpdateSegment
+    + merge (ops/pallas_sweep_stream.py).  Same caller guarantees as
+    _solve_merge_fused."""
+    from ..ops.pallas_sweep_stream import fused_sweep_stream
+    h = (pa.dx, pa.dy, pa.dz)[axis]
+    if axis == 0:
+        diss = stencil.diss_x_3d(temp.u, temp.v, temp.w, pa.dx, pa.dy, pa.dz)
+    elif axis == 1:
+        diss = stencil.diss_y_3d(temp.u, temp.v, temp.w, pa.dx, pa.dy, pa.dz)
+    else:
+        diss = stencil.diss_z_3d(temp.u, temp.v, temp.w, pa.dx, pa.dy, pa.dz)
+    forcing = pa.t_phi * diss
+    scal = jnp.stack([pa.v_vis / (h * h), pa.t_vis / (h * h), 3.0 / dt,
+                      1.0 / (2.0 * h), pa.v_T])
+    temp4 = jnp.stack(tuple(temp))
+    rhs4 = jnp.stack(tuple(rhs))
+    op4 = jnp.stack(tuple(out))
+    cls = ga.cls_a[axis]
+    if axis == 2:
+        sw = lambda t: jnp.swapaxes(t, 1, 2)
+        sw4 = lambda t: jnp.swapaxes(t, 2, 3)
+        o4, t4 = fused_sweep_stream(sw4(temp4), sw(cls), sw(ga.bc_vel),
+                                    sw(ga.bc_temp), sw4(rhs4), sw4(op4),
+                                    sw(forcing), scal,
+                                    sweep_axis=1, axis_var=2, exact=exact)
+        o4, t4 = sw4(o4), sw4(t4)
+    else:
+        o4, t4 = fused_sweep_stream(temp4, cls, ga.bc_vel, ga.bc_temp,
+                                    rhs4, op4, forcing, scal,
+                                    sweep_axis=axis, axis_var=axis,
+                                    exact=exact)
+    return (State3D(t4[0], t4[1], t4[2], t4[3]),
+            State3D(o4[0], o4[1], o4[2], o4[3]))
+
+
 def _solve_direction_3d(axis: int, rhs: State3D, temp: State3D, out_layer: State3D,
                         ga: GridArrays3D, dt, num_local: int, pa: ParamsArgs3D,
                         backend: str, exact: bool, plan=None,
                         merge_ok: bool = False):
     """Reference SolveDirection (AdiSolver3D.cpp:564-666), CPU semantics."""
     n_sweep = rhs.u.shape[axis]
-    if (backend == "fused_merge" and plan is None and merge_ok
-            and ga.cls_b[axis] is None and n_sweep <= 288):
+    cap = 256 if backend == "fused_full" else 288
+    if (backend in ("fused_merge", "fused_full") and plan is None and merge_ok
+            and ga.cls_b[axis] is None and n_sweep <= cap):
+        fused_dir = (_solve_stream_fused if backend == "fused_full"
+                     else _solve_merge_fused)
         out = out_layer
         for _ in range(num_local):
-            temp, out = _solve_merge_fused(axis, rhs, temp, out, ga, dt, pa,
-                                           exact)
+            temp, out = fused_dir(axis, rhs, temp, out, ga, dt, pa, exact)
         return temp, out
 
     is_in = ga.types == NodeType.IN
@@ -349,10 +410,41 @@ def adi_timestep_3d(cur: State3D, nxt_prev: State3D, ga: GridArrays3D, dt,
         # The DMA variants aren't wired for shard_map yet -> plain fused;
         # the two-pass "pallas" backend would run on GSPMD-sharded row
         # arrays without a shard_map -> scan.
-        if backend in ("auto", "fused_dma", "fused_merge"):
+        if backend in ("auto", "fused_dma", "fused_merge", "fused_full"):
             backend = "fused"
         elif backend == "pallas":
             backend = "scan"
+
+    # step-level tile padding: the fused kernels need (x, y, z) padded to
+    # (8, 128, 128) multiples; padding once per step (instead of per kernel
+    # call) lets XLA drop every per-call pad/crop copy.  Identity rows make
+    # padded cells inert; types pad with OUT.
+    pad = None
+    if plan is None and backend in ("fused", "fused_dma", "fused_merge",
+                                    "fused_full"):
+        nx, ny, nz = cur.u.shape
+        tgt = (-nx % 8, -ny % 128, -nz % 128)
+        grow = ((nx + tgt[0]) * (ny + tgt[1]) * (nz + tgt[2])) / max(
+            nx * ny * nz, 1)
+        if any(tgt) and grow <= 1.25:
+            pad = tgt
+    if pad is not None:
+        p3 = tuple((0, p) for p in pad)
+
+        def pad3(a, val=0):
+            return (None if a is None
+                    else jnp.pad(a, p3, constant_values=val))
+
+        cur = State3D(*(pad3(f) for f in cur))
+        nxt_prev = State3D(*(pad3(f) for f in nxt_prev))
+        ga = ga._replace(
+            types=pad3(ga.types, NodeType.OUT),
+            bc_vel=pad3(ga.bc_vel), bc_temp=pad3(ga.bc_temp),
+            val_u=pad3(ga.val_u), val_v=pad3(ga.val_v),
+            val_w=pad3(ga.val_w), val_T=pad3(ga.val_T),
+            cls_a=tuple(pad3(c) for c in ga.cls_a),
+            cls_b=tuple(pad3(c) for c in ga.cls_b),
+            take_b=tuple(pad3(c) for c in ga.take_b))
 
     is_bv = (ga.types == NodeType.BOUND) | (ga.types == NodeType.VALVE)
     is_in = ga.types == NodeType.IN
@@ -376,4 +468,7 @@ def adi_timestep_3d(cur: State3D, nxt_prev: State3D, ga: GridArrays3D, dt,
                                    pa.dx, pa.dy, pa.dz)
     else:
         err = jnp.float32(-1.0)
+    if pad is not None:
+        sl = tuple(slice(0, -p) if p else slice(None) for p in pad)
+        nxt = State3D(*(f[sl] for f in nxt))
     return nxt, err

@@ -62,8 +62,10 @@ class AdiSolver3D:
         import jax
         import numpy as np
         from ..core.types import NodeType
+        if nblockz:
+            from ..parallel.mesh import ShardingPlan
+            plan = ShardingPlan(plan.mesh, plan.axis, nblockz)
         self.plan = plan
-        self.nblockz = nblockz
         n = plan.mesh.devices.size
         dimx = self.grid.dimx
         pad = (-dimx) % n

@@ -192,6 +192,7 @@ def fused_sweep_dma(adv, cls, bcv, bct, d4, scal, sweep_axis: int,
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=(jax.default_backend() != "tpu"),
     )(scal, advp, pkp, d4p)
 
     return x[:, :A, :B, :C]

@@ -214,6 +214,7 @@ def fused_sweep_merge(adv, cls, bcv, bct, d4, out_prev4, temp4, scal,
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=(jax.default_backend() != "tpu"),
     )(scal, advp, pkp, d4p, op4, tp4)
 
     return out[:, :A, :B, :C], tn[:, :A, :B, :C]

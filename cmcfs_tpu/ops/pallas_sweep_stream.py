@@ -1,0 +1,356 @@
+"""Streamed full-fusion ADI sweep: RHS build + Thomas + update + merge.
+
+The round-1 kernels (pallas_sweep_dma.py, pallas_sweep_dma2.py) still pay
+for a materialized RHS array (XLA writes d4 = 4 fields, kernel reads it
+back) and for XLA merge passes (UpdateSegment + NODE_IN averaging: ~20
+field-moves per direction iteration).  This kernel moves both inside:
+
+* the RHS is built in-kernel from the raw ``rhs`` fields: interior rows
+  d = rhs*3/dt (+ the -v_T*dT/dh forcing for the sweep-direction velocity,
+  with grad_T computed from the resident temp-T slab; + the precomputed
+  t_phi*diss forcing for T), boundary rows d = bc value — read from the
+  variable's own *temp* slab: temp[BOUND/VALVE] == grid bc value is a step
+  invariant (UpdateBoundaries seeds it, merges touch only NODE_IN cells),
+  so no separate val arrays travel at all;
+* the backward pass fuses the reference's UpdateSegment + MergeLayerTo
+  (AdiSolver3D.cpp:707-730, 664-683):
+      out_new  = where(row written, x, out_prev)
+      temp_new = where(NODE_IN, (temp + out_new)/2, temp)
+* all DMAs are streamed one variable ahead (input slabs double-buffered,
+  outputs double-buffered), so on this DMA-latency-bound chip the copies
+  aggregate across concurrent streams instead of serializing — the failure
+  mode that made the round-1 fused_merge variant lose.
+
+Per direction-iteration HBM traffic: ~11 field reads + 8 field writes,
+vs ~30 reads + 16 writes for the fused_dma + XLA-merge pipeline.
+
+This is the TPU descendant of the reference's fused matrix-build + Thomas
+CUDA kernel with INTERNAL_MERGE_ENABLE (AdiSolver3D.cu:75-374): there the
+fusion saved kernel launches and global-memory round-trips of (a,b,c,d);
+here it saves the HBM round-trips of d4 and the merge fields.
+
+Caller guarantees (same as fused_sweep_merge): no dual endpoints, interior
+rows == NODE_IN for this axis, sweep length within the VMEM cap.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .masks import BC0, BC1, INTERIOR
+
+LANES = 128
+S_TILE = 8
+# 15 slabs of 8*n*128*4 bytes + merge temporaries must fit in 16 MB VMEM
+MAX_SWEEP = 256
+
+
+def _make_kernel(n, sweep_axis, axis_var, exact):
+    def row(ref, p):
+        if sweep_axis == 0:
+            return ref[p]
+        return ref[:, p, :]
+
+    def set_row(ref, p, val):
+        if sweep_axis == 0:
+            ref[p] = val
+        else:
+            ref[:, p, :] = val
+
+    # streamed-input layout: in_buf[slot, 0]=rhs_v, [slot, 1]=out_prev_v,
+    # [slot, 2]=temp_v (vars other than axis_var/T) or t_phi*diss (v==3)
+    # op_hbm is aliased to out_hbm (input_output_aliases): the solve updates
+    # the direction's output layer in place, so unwritten slabs keep their
+    # previous values and written ones are read (as out_prev) strictly
+    # before they are overwritten within each block
+    def kernel(scal_ref, temp_hbm, pk_hbm, rhs_hbm, op_hbm, forc_hbm,
+               out_hbm, tn_hbm,
+               adv_v, T_v, pk_v, in_buf, out_buf, tn_buf, cp, rbuf,
+               sh_sems, in_sems, out_sems):
+        j = pl.program_id(0)
+        cidx = pl.program_id(1)
+        v_vis_h2 = scal_ref[0]
+        t_vis_h2 = scal_ref[1]
+        inv3dt = scal_ref[2]
+        inv2h = scal_ref[3]
+        v_T = scal_ref[4]
+
+        def slab3(ref):
+            if sweep_axis == 0:
+                return ref.at[:, pl.ds(j * S_TILE, S_TILE),
+                              pl.ds(cidx * LANES, LANES)]
+            return ref.at[pl.ds(j * S_TILE, S_TILE), :,
+                          pl.ds(cidx * LANES, LANES)]
+
+        def slab4(ref, vv):
+            if sweep_axis == 0:
+                return ref.at[vv, :, pl.ds(j * S_TILE, S_TILE),
+                              pl.ds(cidx * LANES, LANES)]
+            return ref.at[vv, pl.ds(j * S_TILE, S_TILE), :,
+                          pl.ds(cidx * LANES, LANES)]
+
+        def start_inputs(v, slot):
+            pltpu.make_async_copy(slab4(rhs_hbm, v), in_buf.at[slot, 0],
+                                  in_sems.at[slot, 0]).start()
+            pltpu.make_async_copy(slab4(op_hbm, v), in_buf.at[slot, 1],
+                                  in_sems.at[slot, 1]).start()
+            if v == 3:
+                pltpu.make_async_copy(slab3(forc_hbm), in_buf.at[slot, 2],
+                                      in_sems.at[slot, 2]).start()
+            elif v != axis_var:
+                pltpu.make_async_copy(slab4(temp_hbm, v), in_buf.at[slot, 2],
+                                      in_sems.at[slot, 2]).start()
+
+        def wait_inputs(v, slot):
+            pltpu.make_async_copy(slab4(rhs_hbm, v), in_buf.at[slot, 0],
+                                  in_sems.at[slot, 0]).wait()
+            pltpu.make_async_copy(slab4(op_hbm, v), in_buf.at[slot, 1],
+                                  in_sems.at[slot, 1]).wait()
+            if v != axis_var:
+                src = slab3(forc_hbm) if v == 3 else slab4(temp_hbm, v)
+                pltpu.make_async_copy(src, in_buf.at[slot, 2],
+                                      in_sems.at[slot, 2]).wait()
+
+        # shared slabs + the first two variables' inputs, all concurrent
+        a_dma = pltpu.make_async_copy(slab4(temp_hbm, axis_var), adv_v,
+                                      sh_sems.at[0])
+        t_dma = pltpu.make_async_copy(slab4(temp_hbm, 3), T_v, sh_sems.at[1])
+        p_dma = pltpu.make_async_copy(slab3(pk_hbm), pk_v, sh_sems.at[2])
+        a_dma.start()
+        t_dma.start()
+        p_dma.start()
+        start_inputs(0, 0)
+        start_inputs(1, 1)
+        a_dma.wait()
+        t_dma.wait()
+        p_dma.wait()
+
+        zero = jnp.zeros_like(row(adv_v, 0))
+
+        def chunked(body, init):
+            # manual 8-row unroll: per-row work that is off the carry chain
+            # gets interleaved by Mosaic with the latency-bound recurrence
+            def chunk(k, carry):
+                base = k * 8
+                for i in range(8):
+                    carry = body(base + i, carry)
+                return carry
+            return jax.lax.fori_loop(0, n // 8, chunk, init)
+
+        def decode(p):
+            pk = row(pk_v, p)
+            bct = jnp.floor(pk * 0.125)
+            r8 = pk - 8.0 * bct
+            bcv = jnp.floor(r8 * 0.25)
+            cls = r8 - 4.0 * bcv
+            return cls, bcv, bct
+
+        def build_a(p, cls, free, vis):
+            adv = row(adv_v, p)
+            a = jnp.where(cls == INTERIOR, -adv * inv2h - vis,
+                          jnp.where(cls == BC1,
+                                    jnp.where(free, -1.0, 0.0), 0.0))
+            return jnp.where(p == 0, 0.0, a)
+
+        def coeff_pass(vis, for_T):
+            """Shared elimination-coefficient chain: u, v, w have identical
+            (a, b, c) rows (same viscosity, same advection field, same BC
+            structure — only d differs), so c' and denom are computed ONCE
+            for the velocity group and reused bit-exactly; the reference
+            recomputes the identical stream per variable
+            (BuildMatrix, AdiSolver3D.cpp:732-802)."""
+            b_int = inv3dt + 2.0 * vis
+
+            def body(p, c_prev):
+                cls, bcv, bct = decode(p)
+                free = (bct if for_T else bcv) == 1
+                interior = cls == INTERIOR
+                is_bc0 = cls == BC0
+                adv = row(adv_v, p)
+                a = jnp.where(interior, -adv * inv2h - vis,
+                              jnp.where(cls == BC1,
+                                        jnp.where(free, -1.0, 0.0), 0.0))
+                b = jnp.where(interior, b_int,
+                              jnp.where(is_bc0 | (cls == BC1),
+                                        jnp.where(free, 2.0, 1.0), 1.0))
+                c = jnp.where(interior, adv * inv2h - vis,
+                              jnp.where(is_bc0,
+                                        jnp.where(free, -1.0, 0.0), 0.0))
+                a_eff = jnp.where(p == 0, 0.0, a)
+                c_eff = jnp.where(p == n - 1, 0.0, c)
+                denom = b - a_eff * c_prev
+                if exact:
+                    c_new = c_eff / denom
+                    set_row(rbuf, p, denom)
+                else:
+                    r = pl.reciprocal(denom, approx=False)
+                    c_new = c_eff * r
+                    set_row(rbuf, p, r)
+                set_row(cp, p, c_new)
+                return c_new
+
+            chunked(body, zero)
+
+        def solve_var(v, slot, vis):
+            """d-elimination + back substitution + fused update/merge for
+            one variable, using the group's precomputed (c', denom)."""
+            tv_ref = (adv_v if v == axis_var
+                      else (T_v if v == 3 else in_buf.at[slot, 2]))
+
+            def d_body(p, d_prev):
+                cls, bcv, bct = decode(p)
+                free = (bct if v == 3 else bcv) == 1
+                interior = cls == INTERIOR
+                a_eff = build_a(p, cls, free, vis)
+                # in-kernel RHS (reference BuildMatrix AdiSolver3D.cpp:732-802)
+                d_int = row(in_buf.at[slot, 0], p) * inv3dt
+                if v == axis_var:
+                    pp = jnp.minimum(p + 1, n - 1)
+                    pm = jnp.maximum(p - 1, 0)
+                    grad = (row(T_v, pp) - row(T_v, pm)) * inv2h
+                    d_int = d_int - v_T * grad
+                elif v == 3:
+                    d_int = d_int + row(in_buf.at[slot, 2], p)
+                d_bc = jnp.where(free, 0.0, row(tv_ref, p))
+                d = jnp.where(interior, d_int,
+                              jnp.where((cls == BC0) | (cls == BC1), d_bc, 0.0))
+                rr = row(rbuf, p)
+                num = d - d_prev * a_eff
+                d_new = num / rr if exact else num * rr
+                set_row(out_buf.at[slot], p, d_new)  # stage d' in out buffer
+                return d_new
+
+            chunked(d_body, zero)
+
+            def bwd_body(q, x_next):
+                p = n - 1 - q
+                x = row(out_buf.at[slot], p) - row(cp, p) * x_next
+                set_row(tn_buf.at[slot], p, x)   # stage raw x
+                return x
+
+            chunked(bwd_body, zero)
+
+            # vectorized UpdateSegment + merge (the per-row loops above
+            # carry only the recurrences), in static row chunks to bound
+            # the temporaries' VMEM stack footprint
+            n_mrg = 4
+            for m in range(n_mrg):
+                sl = ((slice(m * n // n_mrg, (m + 1) * n // n_mrg),)
+                      if sweep_axis == 0 else
+                      (slice(None), slice(m * n // n_mrg, (m + 1) * n // n_mrg)))
+                pk = pk_v[sl]
+                r8 = pk - 8.0 * jnp.floor(pk * 0.125)
+                cls = r8 - 4.0 * jnp.floor(r8 * 0.25)
+                written = cls != 0.0
+                is_in = cls == INTERIOR     # caller guarantees == NODE_IN
+                t_old = tv_ref[sl]
+                out_new = jnp.where(written, tn_buf[(slot,) + sl],
+                                    in_buf[(slot, 1) + sl])
+                t_new = jnp.where(is_in, (t_old + out_new) * 0.5, t_old)
+                out_buf[(slot,) + sl] = out_new
+                tn_buf[(slot,) + sl] = t_new
+
+        coeff_pass(v_vis_h2, for_T=False)       # shared by u, v, w
+        for v in range(4):
+            slot = v % 2
+            wait_inputs(v, slot)
+            if v >= 2:
+                # out/tn buffers for this slot were DMA-ing since var v-2
+                pltpu.make_async_copy(out_buf.at[slot], slab4(out_hbm, v - 2),
+                                      out_sems.at[slot, 0]).wait()
+                pltpu.make_async_copy(tn_buf.at[slot], slab4(tn_hbm, v - 2),
+                                      out_sems.at[slot, 1]).wait()
+            if v == 3:
+                coeff_pass(t_vis_h2, for_T=True)    # overwrites cp/rbuf
+            solve_var(v, slot, t_vis_h2 if v == 3 else v_vis_h2)
+
+            pltpu.make_async_copy(out_buf.at[slot], slab4(out_hbm, v),
+                                  out_sems.at[slot, 0]).start()
+            pltpu.make_async_copy(tn_buf.at[slot], slab4(tn_hbm, v),
+                                  out_sems.at[slot, 1]).start()
+            if v + 2 <= 3:
+                # refill this slot's inputs for var v+2 while v+1 computes
+                start_inputs(v + 2, slot)
+
+        for v in (2, 3):
+            slot = v % 2
+            pltpu.make_async_copy(out_buf.at[slot], slab4(out_hbm, v),
+                                  out_sems.at[slot, 0]).wait()
+            pltpu.make_async_copy(tn_buf.at[slot], slab4(tn_hbm, v),
+                                  out_sems.at[slot, 1]).wait()
+
+    return kernel
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("sweep_axis", "axis_var", "exact"))
+def fused_sweep_stream(temp4, cls, bcv, bct, rhs4, out_prev4, forcing, scal,
+                       sweep_axis: int, axis_var: int, exact: bool = True):
+    """Returns (out_new4, temp_new4) for one direction-local-iteration.
+
+    temp4/rhs4/out_prev4: (4, A, B, C) stacked u,v,w,T; forcing: (A, B, C)
+    = t_phi*diss for the T equation; scal: (5,) f32 =
+    [v_vis_h2, t_vis_h2, 3/dt, 1/(2h), v_T].  ``axis_var`` is the physical
+    sweep direction (picks the advection/temp component and the grad-T
+    forcing); ``sweep_axis`` in {0, 1} is the slab geometry — callers handle
+    Z by swapping axes 1<->2 (Z_as_Y, AdiSolver3D.cu:198-210).
+    """
+    _, A, B, C = temp4.shape
+    Cp = _ceil_to(C, LANES)
+    Ap = _ceil_to(A, S_TILE)
+    Bp = _ceil_to(B, S_TILE)
+    n = (Ap, Bp)[sweep_axis]
+
+    def pad3(x):
+        return jnp.pad(x, ((0, Ap - A), (0, Bp - B), (0, Cp - C)))
+
+    def pad4(x):
+        return jnp.pad(x, ((0, 0), (0, Ap - A), (0, Bp - B), (0, Cp - C)))
+
+    packed = (cls.astype(jnp.float32) + 4.0 * bcv.astype(jnp.float32)
+              + 8.0 * bct.astype(jnp.float32))
+    tp4 = pad4(temp4)
+    pkp = pad3(packed)
+    rp4 = pad4(rhs4)
+    op4 = pad4(out_prev4)
+    fp = pad3(forcing)
+
+    slab = (Ap, S_TILE, LANES) if sweep_axis == 0 else (S_TILE, Bp, LANES)
+    n_blocks = (Bp if sweep_axis == 0 else Ap) // S_TILE
+    c_blocks = Cp // LANES
+
+    any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    out, tn = pl.pallas_call(
+        _make_kernel(n, sweep_axis, axis_var, exact),
+        grid=(n_blocks, c_blocks),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [any_spec] * 5,
+        out_specs=(any_spec, any_spec),
+        out_shape=(jax.ShapeDtypeStruct((4, Ap, Bp, Cp), temp4.dtype),
+                   jax.ShapeDtypeStruct((4, Ap, Bp, Cp), temp4.dtype)),
+        input_output_aliases={4: 0},    # out_prev buffer IS the output layer
+        scratch_shapes=[
+            pltpu.VMEM(slab, temp4.dtype),          # adv (= temp[axis_var])
+            pltpu.VMEM(slab, temp4.dtype),          # T   (= temp[3])
+            pltpu.VMEM(slab, temp4.dtype),          # packed masks
+            pltpu.VMEM((2, 3) + slab, temp4.dtype), # streamed inputs
+            pltpu.VMEM((2,) + slab, temp4.dtype),   # out double buffer
+            pltpu.VMEM((2,) + slab, temp4.dtype),   # temp_new double buffer
+            pltpu.VMEM(slab, temp4.dtype),          # c' line
+            pltpu.VMEM(slab, temp4.dtype),          # denom / 1/denom line
+            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.SemaphoreType.DMA((2, 3)),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=(jax.default_backend() != "tpu"),
+    )(scal, tp4, pkp, rp4, op4, fp)
+
+    return out[:, :A, :B, :C], tn[:, :A, :B, :C]

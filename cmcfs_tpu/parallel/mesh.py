@@ -30,19 +30,25 @@ _ACTIVE: Optional["ShardingPlan"] = None
 
 
 class ShardingPlan:
-    """Sharding specs for one mesh axis over the grid X dimension."""
+    """Sharding specs for one mesh axis over the grid X dimension.
 
-    def __init__(self, mesh: Mesh, axis: str = "x"):
+    ``nblockz`` > 1 switches the distributed X sweep from the all_to_all
+    reshard to the Z-blocked wavefront pipeline (the reference's
+    ``blocking nBlockZ``, AdiSolver3D.cu:642-881)."""
+
+    def __init__(self, mesh: Mesh, axis: str = "x", nblockz: int = 0):
         self.mesh = mesh
         self.axis = axis
+        self.nblockz = nblockz
 
     # hashable so jitted solver steps can take the plan as a static arg
     def __hash__(self):
-        return hash((self.mesh, self.axis))
+        return hash((self.mesh, self.axis, self.nblockz))
 
     def __eq__(self, other):
         return (isinstance(other, ShardingPlan)
-                and self.mesh == other.mesh and self.axis == other.axis)
+                and self.mesh == other.mesh and self.axis == other.axis
+                and self.nblockz == other.nblockz)
 
     def state_spec(self) -> P:
         return P(self.axis, None, None)

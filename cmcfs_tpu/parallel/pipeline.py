@@ -53,6 +53,91 @@ def _local_bwd(cp, dp, xin):
     return xs, ox
 
 
+def _largest_divisor_leq(n: int, m: int) -> int:
+    for k in range(min(n, m), 0, -1):
+        if n % k == 0:
+            return k
+    return 1
+
+
+def pipelined_tridiag_x_blocked(a, b, c, d, plan, nblockz: int,
+                                exact: bool = True):
+    """Z-blocked wavefront pipeline (the reference's ``blocking nBlockZ``,
+    AdiSolver3D.cu:642-881).
+
+    The batch's LAST axis is split into ``nb`` blocks; at wavefront step t
+    device k processes block t-k, so device k starts block 0 as soon as
+    device k-1 hands over that block's carry instead of waiting for the
+    whole batch.  Per-device compute drops from K×batch (the plain SPMD
+    pipeline's redundancy) to (K+nb-1)/nb × batch — the same bubble-hiding
+    the reference gets from overlapping block b's Y-solve with the X
+    pipeline of block b-1.  Numerics are identical to pipelined_tridiag_x
+    (each line is independent; blocking only reorders schedule).
+    """
+    mesh = plan.mesh
+    axk = plan.axis
+    spec = P(axk)
+    K = mesh.devices.size
+    nz = a.shape[-1]
+    nb = _largest_divisor_leq(nz, max(1, nblockz))
+    blk = nz // nb
+    T = K + nb - 1
+
+    @functools.partial(shard_map, mesh=mesh, in_specs=(spec,) * 4,
+                       out_specs=spec)
+    def solve(a, b, c, d):
+        k = jax.lax.axis_index(axk)
+        # derived from shard data: varying over the mesh axis (scan carries
+        # must keep a consistent varying-axes type)
+        czero = a[0, ..., :blk] * 0.0
+
+        c_local = c.at[-1].set(jnp.where(k == K - 1, 0.0, c[-1]))
+
+        fwd_perm = [(i, i + 1) for i in range(K - 1)]
+        bwd_perm = [(i + 1, i) for i in range(K - 1)]
+
+        def blk_slice(m, off):
+            return jax.lax.dynamic_slice_in_dim(m, off, blk, axis=m.ndim - 1)
+
+        def blk_update(m, val, off):
+            return jax.lax.dynamic_update_slice_in_dim(m, val, off,
+                                                       axis=m.ndim - 1)
+
+        def fwd_stage(t, state):
+            cin_c, cin_d, cp, dp = state
+            bidx = t - k
+            valid = (bidx >= 0) & (bidx < nb)
+            off = jnp.clip(bidx, 0, nb - 1) * blk
+            asl, bsl, csl, dsl = (blk_slice(m, off)
+                                  for m in (a, b, c_local, d))
+            ncp, ndp, oc, od = _local_fwd(asl, bsl, csl, dsl, cin_c, cin_d,
+                                          exact)
+            cp = blk_update(cp, jnp.where(valid, ncp, blk_slice(cp, off)), off)
+            dp = blk_update(dp, jnp.where(valid, ndp, blk_slice(dp, off)), off)
+            cin_c = jax.lax.ppermute(oc, axk, fwd_perm)
+            cin_d = jax.lax.ppermute(od, axk, fwd_perm)
+            return cin_c, cin_d, cp, dp
+
+        init = (czero, czero, jnp.zeros_like(a), jnp.zeros_like(a))
+        _, _, cp, dp = jax.lax.fori_loop(0, T, fwd_stage, init)
+
+        def bwd_stage(t, state):
+            xin, xs = state
+            bidx = t - (K - 1 - k)
+            valid = (bidx >= 0) & (bidx < nb)
+            off = jnp.clip(bidx, 0, nb - 1) * blk
+            nxs, ox = _local_bwd(blk_slice(cp, off), blk_slice(dp, off), xin)
+            xs = blk_update(xs, jnp.where(valid, nxs, blk_slice(xs, off)), off)
+            xin = jax.lax.ppermute(ox, axk, bwd_perm)
+            return xin, xs
+
+        _, xs = jax.lax.fori_loop(0, T, bwd_stage,
+                                  (czero, jnp.zeros_like(a)))
+        return xs
+
+    return solve(a, b, c, d)
+
+
 def pipelined_tridiag_x(a, b, c, d, plan, exact: bool = True):
     """Solve along axis 0 of X-sharded (X, ...) row arrays via the pipeline."""
     mesh = plan.mesh

@@ -27,6 +27,9 @@ sed -e 's/time_steps\t100/time_steps\t10/' \
     /root/reference/data/3D/example_tests/box_pipe/box_pipe_2D_config.txt \
   | tr -d '\r' > cases/box_pipe_3d.txt
 sed 's/out_time_steps \t10/out_time_steps \t1/' cases/box_pipe_3d.txt > cases/box_pipe_3d_out1.txt
+# 1000-step fidelity-gate case: 100 cycles x 10 steps, one record per 100
+sed -e 's/cycles \t\t1/cycles \t\t100/' -e 's/out_time_steps \t10/out_time_steps \t100/' \
+    cases/box_pipe_3d.txt > cases/box_pipe_3d_long.txt
 
 # tetra: shipped config lacks out_vars and frame_time (the reference would
 # refuse / run zero steps) — add them

@@ -139,6 +139,62 @@ def test_cli3d_sharded_matches_unsharded(tmp_path):
     assert abs(e1[0] - e0[0]) < 1e-9
 
 
+def test_wavefront_blocked_pipeline_matches_scan():
+    """Z-blocked wavefront pipeline (the reference's `blocking nBlockZ`,
+    AdiSolver3D.cu:642-881): bitwise vs the exact scan solve for any block
+    count, including non-dividing requests (rounded to a divisor)."""
+    from cmcfs_tpu.ops.tridiag import tridiag_solve
+    from cmcfs_tpu.parallel.mesh import make_x_mesh
+    from cmcfs_tpu.parallel.pipeline import pipelined_tridiag_x_blocked
+
+    rng = np.random.default_rng(7)
+    N, batch = 64, 48
+    a = rng.normal(size=(N, batch)).astype(np.float32); a[0] = 0.0
+    b = (rng.normal(size=(N, batch)) + 6.0).astype(np.float32)
+    c = rng.normal(size=(N, batch)).astype(np.float32); c[-1] = 0.0
+    d = rng.normal(size=(N, batch)).astype(np.float32)
+    ref = np.asarray(tridiag_solve(*map(jnp.asarray, (a, b, c, d)),
+                                   backend="scan"))
+    plan = make_x_mesh(8)
+    sh = jax.NamedSharding(plan.mesh, jax.sharding.PartitionSpec("x"))
+    args = [jax.device_put(jnp.asarray(m), sh) for m in (a, b, c, d)]
+    for nb in (1, 3, 5, 48):   # 5 does not divide 48 -> rounds to 4
+        x = np.asarray(pipelined_tridiag_x_blocked(*args, plan=plan,
+                                                   nblockz=nb))
+        np.testing.assert_array_equal(x, ref)
+
+
+def test_wavefront_step_matches_all_to_all():
+    """Full sharded ADI step with the wavefront X sweep (`blocking` mode)
+    vs the all_to_all reshard path (1-ulp FMA-contraction tolerance)."""
+    from cmcfs_tpu.geom.synthetic import lid_cavity_3d
+    from cmcfs_tpu.models import adi3d
+    from cmcfs_tpu.models.common3d import grid_arrays, init_state
+    from cmcfs_tpu.core.params import FluidParams
+    from cmcfs_tpu.parallel.mesh import make_x_mesh, ShardingPlan
+
+    grid = lid_cavity_3d(32, 19, 21)
+    ga = grid_arrays(grid)
+    cur = init_state(grid)
+    p = FluidParams.normalized(200.0, 0.72, 1.4)
+    pa = adi3d.ParamsArgs3D(*[jnp.float32(x) for x in
+                              (p.v_T, p.v_vis, p.t_vis, p.t_phi,
+                               grid.dx, grid.dy, grid.dz)])
+    dt = jnp.float32(0.01)
+    plan = make_x_mesh(8)
+    cur_s = plan.shard_state(cur)
+    ga_s = plan.shard_grid(ga)
+    ref, e0 = adi3d.adi_timestep_3d(cur_s, cur_s, ga_s, dt, 2, 2, pa,
+                                    backend="scan", plan=plan)
+    plan_b = ShardingPlan(plan.mesh, plan.axis, nblockz=7)
+    out, e1 = adi3d.adi_timestep_3d(cur_s, cur_s, ga_s, dt, 2, 2, pa,
+                                    backend="scan", plan=plan_b)
+    for r, o in zip(ref, out):
+        np.testing.assert_allclose(np.asarray(o), np.asarray(r),
+                                   rtol=0, atol=5e-7)
+    assert abs(float(e0) - float(e1)) < 1e-9
+
+
 def test_pipelined_thomas_matches_scan():
     """Faithful pipelined distributed Thomas (parallel/pipeline.py) vs the
     single-device exact solve."""

@@ -20,7 +20,7 @@ needs_ref = pytest.mark.skipif(not os.path.exists(DBG),
                                reason="refbuild/prepare.sh not run")
 
 
-def run_reference_3d(data: str, base: str, case: str):
+def run_reference_3d(data: str, base: str, case: str, timeout: int = 600):
     out = os.path.join(REFBUILD, "out")
     os.makedirs(out, exist_ok=True)
     for f in os.listdir(out):
@@ -29,7 +29,7 @@ def run_reference_3d(data: str, base: str, case: str):
     env = dict(os.environ, ASAN_OPTIONS="halt_on_error=0:log_path=asan_parity")
     subprocess.run([DBG, os.path.join(REFBUILD, "data", data), base,
                     os.path.join(REFBUILD, "cases", case)],
-                   cwd=out, env=env, capture_output=True, timeout=600)
+                   cwd=out, env=env, capture_output=True, timeout=timeout)
     for f in os.listdir(out):
         if f.startswith("asan_parity"):
             os.remove(os.path.join(out, f))
