@@ -6,10 +6,12 @@ Usage (mirrors reference src/FluidSolver3D/FluidSolver3D.cpp:26-51):
 Flags: ``align``, ``CSV``, ``backend scan|pallas``, ``quiet``,
 ``dump_grid`` (BMP slice stack of the mask, like the reference's
 OutputImage — off by default to keep runs lean).
-The reference's GPU/transpose/decompose/blocking flags configure its
-multi-GPU execution; the TPU equivalent is ``shards N`` — an N-device
-"x" mesh (cmcfs_tpu.parallel) with GSPMD halo exchange and the resharded
-X sweep.
+Multi-accelerator flags (reference FluidSolver3D.cpp:26-51 grammar):
+``GPU [n]`` / ``shards N`` — an N-device "x" mesh (cmcfs_tpu.parallel)
+with GSPMD halo exchange and the resharded X sweep; ``blocking [nBlockZ]``
+— Z-blocked wavefront pipelined X sweep (parallel/pipeline.py);
+``hosts N [rank R] [coordinator HOST:PORT]`` — multi-host bring-up via
+jax.distributed (parallel/multihost.py), run one process per host.
 """
 from __future__ import annotations
 
@@ -26,6 +28,11 @@ from .io.project import find_file
 from .models.solver3d import make_solver_3d
 from .utils.profiler import Profiler
 from .utils.timer import CpuTimer, print_time_step_info
+
+
+def _is_main_process() -> bool:
+    import jax
+    return jax.process_index() == 0
 
 
 def build_grid(cfg: Config, input_path: str, align: bool = False) -> Grid3D:
@@ -145,7 +152,9 @@ def run_case(input_path: str, output_base: str, config_path: str,
         if i % cfg.out_time_steps == 0:
             with prof.section("Output"):
                 u, v, w, T = solver.get_layer(cfg.outdimx, cfg.outdimy, cfg.outdimz)
-                nc.write_layer(out_layer, u, v, w, T)
+                if _is_main_process():
+                    # rank-0 gated writes (reference IO.h:457-459)
+                    nc.write_layer(out_layer, u, v, w, T)
             out_layer += 1
         if checkpoint and i % cfg.out_time_steps == 0:
             import numpy as np
@@ -180,7 +189,8 @@ def main(argv=None) -> int:
         elif argv[i] == "backend" and i + 1 < len(argv):
             backend = argv[i + 1]
             i += 1
-        elif argv[i] in ("checkpoint", "resume", "shards") and i + 1 < len(argv):
+        elif argv[i] in ("checkpoint", "resume", "shards", "hosts", "rank",
+                         "coordinator") and i + 1 < len(argv):
             extras[argv[i]] = argv[i + 1]
             i += 1
         elif argv[i] == "GPU":
@@ -202,6 +212,14 @@ def main(argv=None) -> int:
     if len(rest) < 3:
         print(__doc__)
         return 2
+    if "hosts" in extras:
+        # multi-host bring-up (PARAplan analogue): must run before the
+        # first jax backend use; see cmcfs_tpu/parallel/multihost.py
+        from .parallel.multihost import init_distributed, global_mesh_info
+        init_distributed(extras.get("coordinator"),
+                         int(extras["hosts"]),
+                         int(extras["rank"]) if "rank" in extras else None)
+        print(global_mesh_info())
     run_case(find_file(rest[0]), rest[1], find_file(rest[2]),
              align=flags["align"], csv=flags["CSV"], backend=backend,
              quiet=flags["quiet"], dump_grid=flags["dump_grid"],

@@ -130,7 +130,14 @@ class AdiSolver3D:
         if pad:
             state = type(state)(*(f[:-pad] for f in state))
             ga = ga._replace(types=ga.types[:-pad])
-        return get_layer(state, ga, outdimx, outdimy, outdimz)
+        out = get_layer(state, ga, outdimx, outdimy, outdimz)
+        import jax
+        if jax.process_count() > 1:
+            # gather to every host (reference FilterToArrays MPI path,
+            # TimeLayer3D.h:819-924); callers gate file writes to rank 0
+            from jax.experimental import multihost_utils
+            out = tuple(multihost_utils.process_allgather(o) for o in out)
+        return out
 
 
 class ExplicitSolver3D(AdiSolver3D):
