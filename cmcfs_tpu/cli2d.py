@@ -74,7 +74,13 @@ def run_case(input_path: str, field_path: str, output_path: str, config_path: st
                                     cfg.outdimx, cfg.outdimy)
     cur_out = output_path
 
-    prof = Profiler()
+    def _sync_fetch():
+        # scalar round-trip: the only reliable device sync through the
+        # remote axon tunnel (see utils/profiler.py)
+        import jax.numpy as jnp
+        float(jnp.sum(solver.cur.u))
+
+    prof = Profiler(sync_fetch=_sync_fetch)
     timer = CpuTimer()
     timer.start()
 

@@ -71,7 +71,7 @@ def run_case(input_path: str, output_base: str, config_path: str,
              quiet: bool = False, dump_grid: bool = False,
              max_steps: int | None = None, collect_errs: bool = False,
              checkpoint: str | None = None, resume: str | None = None,
-             shards: int = 1, nblockz: int = 0):
+             shards: int = 1, nblockz: int = 0, balance: str | None = None):
     cfg = Config.load(config_path)
     if cfg.use_normalized_params:
         params = FluidParams.normalized(cfg.Re, cfg.Pr, cfg.lam)
@@ -93,7 +93,7 @@ def run_case(input_path: str, output_base: str, config_path: str,
     solver.init(grid, params)
     if shards > 1:
         from .parallel.mesh import make_x_mesh
-        solver.set_plan(make_x_mesh(shards), nblockz=nblockz)
+        solver.set_plan(make_x_mesh(shards), nblockz=nblockz, balance=balance)
 
     frames = grid.num_frames
     length = grid.cycle_len
@@ -112,7 +112,13 @@ def run_case(input_path: str, output_base: str, config_path: str,
         depths=None if depths is None else depths.depth,
         append=bool(resume) and os.path.exists(out_path))
 
-    prof = Profiler()
+    def _sync_fetch():
+        # force a scalar round-trip: the only reliable device sync through
+        # the remote axon tunnel (see utils/profiler.py docstring)
+        import jax.numpy as jnp
+        float(jnp.sum(solver.cur.u))
+
+    prof = Profiler(sync_fetch=_sync_fetch)
     timer = CpuTimer()
     timer.start()
 
@@ -190,7 +196,7 @@ def main(argv=None) -> int:
             backend = argv[i + 1]
             i += 1
         elif argv[i] in ("checkpoint", "resume", "shards", "hosts", "rank",
-                         "coordinator") and i + 1 < len(argv):
+                         "coordinator", "balance") and i + 1 < len(argv):
             extras[argv[i]] = argv[i + 1]
             i += 1
         elif argv[i] == "GPU":
@@ -225,7 +231,8 @@ def main(argv=None) -> int:
              quiet=flags["quiet"], dump_grid=flags["dump_grid"],
              checkpoint=extras.get("checkpoint"), resume=extras.get("resume"),
              shards=int(extras.get("shards", 1)),
-             nblockz=int(extras.get("nblockz", 0)))
+             nblockz=int(extras.get("nblockz", 0)),
+             balance=extras.get("balance"))
     return 0
 
 

@@ -52,12 +52,16 @@ class AdiSolver3D:
             t_vis=f32(params.t_vis), t_phi=f32(params.t_phi),
             dx=f32(grid.dx), dy=f32(grid.dy), dz=f32(grid.dz))
 
-    def set_plan(self, plan, nblockz: int = 0) -> None:
+    def set_plan(self, plan, nblockz: int = 0, balance: str | None = None) -> None:
         """Shard state/grid over an X mesh (the GPUplan/PARAplan analogue).
 
         GSPMD shards evenly (unlike the reference's uneven split1D), so the
         X extent is padded with inert OUT planes (identity rows everywhere;
-        no physics) and cropped again at output time.
+        no physics) and cropped again at output time.  With ``balance``
+        (EVEN_SEGMENTS / EVEN_VOLUME — reference SplitSegments_X,
+        Grid3D.cpp:148-235) the padding planes are inserted at load-optimal
+        safe positions instead of the end, so the even GSPMD cuts carry
+        near-equal work (parallel/balance.plan_padding).
         """
         import jax
         import numpy as np
@@ -69,23 +73,32 @@ class AdiSolver3D:
         n = plan.mesh.devices.size
         dimx = self.grid.dimx
         pad = (-dimx) % n
-        self._pad_x = pad
-        if pad:
+        self._pad_x = 0
+        self._x_keep = None
+        if pad or balance:
             g = self.grid
-            g2types = np.pad(g.types, ((0, pad), (0, 0), (0, 0)),
-                             constant_values=NodeType.OUT)
-            import copy
-            gp = copy.copy(g)
-            gp.types = g2types
-            gp.bc_vel = np.pad(g.bc_vel, ((0, pad), (0, 0), (0, 0)))
-            gp.bc_temp = np.pad(g.bc_temp, ((0, pad), (0, 0), (0, 0)))
-            gp.vel = np.pad(g.vel, ((0, pad), (0, 0), (0, 0), (0, 0)))
-            gp.T = np.pad(g.T, ((0, pad), (0, 0), (0, 0)),
-                          constant_values=np.float32(g.base_T))
-            gp.dimx = dimx + pad
-            self.ga = grid_arrays(gp)
-            self.cur = init_state(gp)
-            self.next = self.cur
+            if balance:
+                from ..parallel import balance as bal
+                ins = bal.plan_padding(np.asarray(g.types), n, policy=balance)
+            else:
+                ins = [dimx] * pad
+            if ins:
+                import copy
+                gp = copy.copy(g)
+                gp.types = np.insert(g.types, ins, NodeType.OUT, axis=0)
+                gp.bc_vel = np.insert(g.bc_vel, ins, 0, axis=0)
+                gp.bc_temp = np.insert(g.bc_temp, ins, 0, axis=0)
+                gp.vel = np.insert(g.vel, ins, 0.0, axis=0)
+                gp.T = np.insert(g.T, ins, np.float32(g.base_T), axis=0)
+                gp.dimx = dimx + len(ins)
+                self.ga = grid_arrays(gp)
+                self.cur = init_state(gp)
+                self.next = self.cur
+                inserted = [p + i for i, p in enumerate(sorted(ins))]
+                if inserted == list(range(dimx, dimx + len(ins))):
+                    self._pad_x = len(ins)     # trailing-only: cheap crop
+                else:
+                    self._x_keep = np.delete(np.arange(gp.dimx), inserted)
         self.cur = plan.shard_state(self.cur)
         self.next = plan.shard_state(self.next)
         self.ga = plan.shard_grid(self.ga)
@@ -127,9 +140,14 @@ class AdiSolver3D:
         """
         state, ga = self.next, self.ga
         pad = getattr(self, "_pad_x", 0)
+        keep = getattr(self, "_x_keep", None)
         if pad:
             state = type(state)(*(f[:-pad] for f in state))
             ga = ga._replace(types=ga.types[:-pad])
+        elif keep is not None:
+            # balanced padding: drop the inserted inert planes (gather)
+            state = type(state)(*(f[keep] for f in state))
+            ga = ga._replace(types=ga.types[keep])
         out = get_layer(state, ga, outdimx, outdimy, outdimz)
         import jax
         if jax.process_count() > 1:

@@ -112,6 +112,58 @@ def analyze(types: np.ndarray, n_shards: int, policy: str = "EVEN_VOLUME") -> Sp
                        balanced_imbalance=imbalance(counts))
 
 
+def _even_chunk_loads(load: np.ndarray, inserts: List[int], n: int) -> np.ndarray:
+    padded = np.insert(load, sorted(inserts), 0.0)
+    if len(padded) % n:
+        raise ValueError("padded length must divide the shard count")
+    return padded.reshape(n, -1).sum(axis=1)
+
+
+def safe_insert_positions(types: np.ndarray) -> List[int]:
+    """X positions where an inert OUT plane can be inserted without touching
+    any consumed value: both domain ends, and either side of an all-OUT
+    plane (no IN cell is ever adjacent to an all-OUT plane — a BOUND shell
+    always intervenes — so no stencil, line class or divergence corner read
+    crosses such an insert)."""
+    nx = types.shape[0]
+    all_out = (types == NodeType.OUT).reshape(nx, -1).all(axis=1)
+    pos = {0, nx}
+    for i in np.nonzero(all_out)[0]:
+        pos.add(int(i))         # insert before plane i
+        pos.add(int(i) + 1)     # insert after plane i
+    return sorted(pos)
+
+
+def plan_padding(types: np.ndarray, n_shards: int,
+                 policy: str = "EVEN_SEGMENTS",
+                 pad_total: int | None = None) -> List[int]:
+    """Load-optimal padding: choose positions (into the ORIGINAL x axis,
+    "insert before plane p") for the inert padding planes so that the even
+    GSPMD cut points land near the reference's balanced split boundaries
+    (SplitSegments_X, Grid3D.cpp:148-235).  Greedy: each plane goes where
+    it most reduces the max per-shard load."""
+    nx = types.shape[0]
+    if pad_total is None:
+        pad_total = (-nx) % n_shards
+    if pad_total == 0:
+        return []
+    load = load_per_plane(types, policy)
+    allowed = safe_insert_positions(types)
+    inserts: List[int] = []
+    for k in range(pad_total):
+        # only lengths divisible by n_shards are scoreable; on the final
+        # plane every choice is, before that score against a trailing fill
+        rest = pad_total - k - 1
+        best = None
+        for p in allowed:
+            trial = inserts + [p] + [nx] * rest
+            cost = float(_even_chunk_loads(load, trial, n_shards).max())
+            if best is None or cost < best[0]:
+                best = (cost, p)
+        inserts.append(best[1])
+    return sorted(inserts)
+
+
 def dump_load(types: np.ndarray, path: str, policy: str = "EVEN_VOLUME") -> None:
     """The reference's segs_per_X.txt diagnostic (Grid3D.cpp:205-212)."""
     load = load_per_plane(types, policy)

@@ -22,20 +22,37 @@ class _Event:
 
 
 class Profiler:
-    def __init__(self, sync: bool = True, enabled: bool = True):
+    def __init__(self, sync: bool = True, enabled: bool = True,
+                 sync_fetch=None):
+        """``sync_fetch``: optional zero-arg callable that forces a device
+        round-trip (e.g. ``lambda: float(jnp.sum(solver.cur.u))``).
+        Through the remote axon tunnel, blocking calls do NOT block
+        (CLAUDE.md) — only a scalar fetch does — so without a fetch hook
+        per-section times misattribute to whichever section fetches; with
+        it, each boundary pays one round-trip but attributes correctly
+        (the cost the reference pays with its per-event MPI_Barrier,
+        Profiler.h:57-59)."""
         self.events: Dict[str, _Event] = {}
         self.sync = sync
+        self.sync_fetch = sync_fetch
         self.enabled = enabled
         self._start: Optional[float] = None
         self._wall_start = time.perf_counter()
 
     def _sync_devices(self) -> None:
-        if self.sync:
+        if not self.sync:
+            return
+        if self.sync_fetch is not None:
             try:
-                import jax
-                jax.effects_barrier()
+                self.sync_fetch()
+                return
             except Exception:
                 pass
+        try:
+            import jax
+            jax.effects_barrier()
+        except Exception:
+            pass
 
     def start(self) -> None:
         if not self.enabled:
