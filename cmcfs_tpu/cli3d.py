@@ -71,7 +71,8 @@ def run_case(input_path: str, output_base: str, config_path: str,
              quiet: bool = False, dump_grid: bool = False,
              max_steps: int | None = None, collect_errs: bool = False,
              checkpoint: str | None = None, resume: str | None = None,
-             shards: int = 1, nblockz: int = 0, balance: str | None = None):
+             shards: int = 1, nblockz: int = 0, balance: str | None = None,
+             orbax: bool = False):
     cfg = Config.load(config_path)
     if cfg.use_normalized_params:
         params = FluidParams.normalized(cfg.Re, cfg.Pr, cfg.lam)
@@ -127,11 +128,21 @@ def run_case(input_path: str, output_base: str, config_path: str,
     t = dt
     i = 0
     nsteps = 0
+    _ck_pending = None
     if resume:
         import jax.numpy as jnp
         from .models.common3d import State3D
-        from .io.checkpoint import load_checkpoint
-        step0, t0, fields = load_checkpoint(resume)
+        if orbax:
+            from .io.checkpoint import load_checkpoint_orbax
+            template = {"u": solver.cur.u, "v": solver.cur.v,
+                        "w": solver.cur.w, "T": solver.cur.T,
+                        "nu": solver.next.u, "nv": solver.next.v,
+                        "nw": solver.next.w, "nT": solver.next.T}
+            step0, t0, fields = load_checkpoint_orbax(resume,
+                                                      template=template)
+        else:
+            from .io.checkpoint import load_checkpoint
+            step0, t0, fields = load_checkpoint(resume)
         solver.cur = State3D(*(jnp.asarray(fields[k]) for k in ("u", "v", "w", "T")))
         solver.next = State3D(*(jnp.asarray(fields[k])
                                 for k in ("nu", "nv", "nw", "nT")))
@@ -163,19 +174,33 @@ def run_case(input_path: str, output_base: str, config_path: str,
                     nc.write_layer(out_layer, u, v, w, T)
             out_layer += 1
         if checkpoint and i % cfg.out_time_steps == 0:
-            import numpy as np
-            from .io.checkpoint import save_checkpoint
-            save_checkpoint(checkpoint, nsteps, t,
-                            u=np.asarray(solver.cur.u), v=np.asarray(solver.cur.v),
-                            w=np.asarray(solver.cur.w), T=np.asarray(solver.cur.T),
-                            nu=np.asarray(solver.next.u), nv=np.asarray(solver.next.v),
-                            nw=np.asarray(solver.next.w), nT=np.asarray(solver.next.T))
+            if orbax:
+                # async device snapshot (no blocking host gather)
+                from .io.checkpoint import save_checkpoint_orbax
+                if _ck_pending is not None:
+                    _ck_pending.wait_until_finished()
+                _ck_pending = save_checkpoint_orbax(
+                    checkpoint, nsteps, t,
+                    {"u": solver.cur.u, "v": solver.cur.v,
+                     "w": solver.cur.w, "T": solver.cur.T,
+                     "nu": solver.next.u, "nv": solver.next.v,
+                     "nw": solver.next.w, "nT": solver.next.T})
+            else:
+                import numpy as np
+                from .io.checkpoint import save_checkpoint
+                save_checkpoint(checkpoint, nsteps, t,
+                                u=np.asarray(solver.cur.u), v=np.asarray(solver.cur.v),
+                                w=np.asarray(solver.cur.w), T=np.asarray(solver.cur.T),
+                                nu=np.asarray(solver.next.u), nv=np.asarray(solver.next.v),
+                                nw=np.asarray(solver.next.w), nT=np.asarray(solver.next.T))
         t += dt
         i += 1
         nsteps += 1
         if max_steps is not None and nsteps >= max_steps:
             break
 
+    if _ck_pending is not None:
+        _ck_pending.wait_until_finished()
     if not quiet:
         print()
         print(prof.report(csv=csv))
@@ -184,7 +209,8 @@ def run_case(input_path: str, output_base: str, config_path: str,
 
 def main(argv=None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
-    flags = {"align": False, "CSV": False, "quiet": False, "dump_grid": False}
+    flags = {"align": False, "CSV": False, "quiet": False, "dump_grid": False,
+             "orbax": False}
     backend = "auto"
     extras = {}
     rest = []
@@ -232,7 +258,7 @@ def main(argv=None) -> int:
              checkpoint=extras.get("checkpoint"), resume=extras.get("resume"),
              shards=int(extras.get("shards", 1)),
              nblockz=int(extras.get("nblockz", 0)),
-             balance=extras.get("balance"))
+             balance=extras.get("balance"), orbax=flags["orbax"])
     return 0
 
 

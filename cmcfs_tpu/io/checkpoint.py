@@ -1,11 +1,15 @@
 """Checkpoint / resume.
 
-Two tiers:
+Three tiers:
 * legacy text layer dumps compatible with the reference's 2D
   SaveLastLayer/LoadLastLayer (src/Common/IO.h:410-453),
 * full-state .npz checkpoints (u, v, [w], T + step/time metadata) for both
   2D and 3D — the real resume feature the reference never finished
-  (SURVEY.md §5: "3D has none").
+  (SURVEY.md §5: "3D has none"),
+* orbax async checkpoints for large sharded grids (save_checkpoint_orbax /
+  load_checkpoint_orbax): device arrays are snapshotted without a host
+  round-trip blocking the step loop, and restore can re-shard onto the
+  current mesh.
 """
 from __future__ import annotations
 
@@ -64,3 +68,55 @@ def load_checkpoint(path: str):
     meta = json.loads(bytes(data["__meta__"]).decode())
     fields = {k: data[k] for k in meta["fields"]}
     return meta["step"], meta["time"], fields
+
+
+# -------------------------------------------------------------- orbax tier
+def save_checkpoint_orbax(path: str, step: int, time: float,
+                          fields: dict, async_save: bool = True):
+    """Async device-array checkpoint for large (possibly sharded) grids.
+
+    ``fields`` may hold jax arrays — they are snapshotted by orbax without
+    a blocking host gather.  Returns the checkpointer; call ``.wait()``
+    (or let the next save barrier) to ensure durability before relying on
+    the file.  Directory format: orbax StandardCheckpointer under
+    ``path/step_<n>``.
+    """
+    import orbax.checkpoint as ocp
+    path = os.path.abspath(path)
+    ckptr = (ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+             if async_save else
+             ocp.Checkpointer(ocp.StandardCheckpointHandler()))
+    tree = dict(fields)
+    tree["__meta__"] = {"step": int(step), "time": float(time)}
+    ckptr.save(os.path.join(path, f"step_{int(step)}"), tree, force=True)
+    return ckptr
+
+
+def latest_orbax_step(path: str):
+    if not os.path.isdir(path):
+        return None
+    steps = [int(d.split("_", 1)[1]) for d in os.listdir(path)
+             if d.startswith("step_") and d.split("_", 1)[1].isdigit()]
+    return max(steps) if steps else None
+
+
+def load_checkpoint_orbax(path: str, step: Optional[int] = None,
+                          template: Optional[dict] = None):
+    """Restore (step, time, fields).  With ``template`` (a pytree of arrays
+    or jax.ShapeDtypeStruct with shardings), fields restore directly onto
+    the current mesh layout."""
+    import orbax.checkpoint as ocp
+    path = os.path.abspath(path)
+    if step is None:
+        step = latest_orbax_step(path)
+        if step is None:
+            raise FileNotFoundError(f"no orbax checkpoints under {path}")
+    ckptr = ocp.Checkpointer(ocp.StandardCheckpointHandler())
+    kwargs = {}
+    if template is not None:
+        tmpl = dict(template)
+        tmpl["__meta__"] = {"step": 0, "time": 0.0}
+        kwargs["args"] = ocp.args.StandardRestore(tmpl)
+    tree = ckptr.restore(os.path.join(path, f"step_{int(step)}"), **kwargs)
+    meta = tree.pop("__meta__")
+    return int(meta["step"]), float(meta["time"]), tree

@@ -109,9 +109,12 @@ class StableSolver2D(Solver2DBase):
     name = "Stable"
 
     def time_step(self, dt: float, num_global: int, num_local: int) -> None:
+        # backend "sequential" selects the reference-exact GS order
+        # (stable2d._project_sequential); anything else is red-black
+        mode = "sequential" if self.backend == "sequential" else "redblack"
         nxt, err, it = stable2d.stable_timestep_2d(
             self.cur, self.next, self.ga, jnp.float32(dt), jnp.int32(num_global),
-            num_local, self.pa)
+            num_local, self.pa, mode=mode)
         self.last_err = float(err)
         self.last_iters = int(it)
         self._check(self.last_err, self.last_iters, stable2d.DIV_ERR_THRESHOLD)

@@ -21,6 +21,11 @@ python ../scripts/convert_nc.py data/white_sea_data.nc data/white_sea_data.nc.ra
 # 2D box_pipe with the ADI scheme (shipped config uses Stable)
 sed 's/solver\t\tStable/solver\t\tADI/' /root/reference/data/2D/box_pipe/box_pipe_config.txt \
   | tr -d '\r' > cases/box_pipe_adi.txt
+# Stable (projection) solver variant of the same case
+sed 's/solver\t\tADI/solver\t\tStable/' cases/box_pipe_adi.txt > cases/box_pipe_stable.txt
+# 25-step Stable variant (the sequential GS makes the full 50-step run slow)
+{ cat cases/box_pipe_stable.txt; printf '\ntime_steps\t25\nout_time_steps\t5\n'; } \
+  > cases/box_pipe_stable25.txt
 
 # 3D extruded box_pipe, shortened to 10 steps, per-step output
 sed -e 's/time_steps\t100/time_steps\t10/' \

@@ -39,6 +39,26 @@ def test_3d_resume_exact(tmp_path):
         assert f1.read() == f2.read()
 
 
+@needs_data
+def test_3d_resume_orbax_exact(tmp_path):
+    """Async orbax checkpoint tier: interrupt+resume must reproduce the
+    uninterrupted run byte-for-byte, like the npz tier."""
+    from cmcfs_tpu.cli3d import run_case
+
+    data = os.path.join(REFBUILD, "data", "box_pipe_2D_data.txt")
+    cfg = os.path.join(REFBUILD, "cases", "box_pipe_3d_out1.txt")
+
+    run_case(data, str(tmp_path / "full"), cfg, backend="scan", quiet=True)
+    ck = str(tmp_path / "ck_orbax")
+    run_case(data, str(tmp_path / "part"), cfg, backend="scan", quiet=True,
+             max_steps=4, checkpoint=ck, orbax=True)
+    run_case(data, str(tmp_path / "part"), cfg, backend="scan", quiet=True,
+             resume=ck, orbax=True)
+    with open(tmp_path / "full_res.nc", "rb") as f1, \
+         open(tmp_path / "part_res.nc", "rb") as f2:
+        assert f1.read() == f2.read()
+
+
 def test_legacy_text_layer_roundtrip(tmp_path):
     from cmcfs_tpu.io.checkpoint import save_last_layer_txt, load_last_layer_txt
     rng = np.random.default_rng(0)
