@@ -158,7 +158,10 @@ def _build_and_solve_3d(axis: int, rhs: State3D, temp: State3D, ga: GridArrays3D
         """One fused build+solve kernel for all 4 vars (ops/pallas_sweep.py
         or the manual-DMA variant in ops/pallas_sweep_dma.py); under a mesh
         the same kernel runs per shard via shard_map."""
-        if (backend in ("fused_dma", "fused_merge", "fused_full")
+        if plan is None and n_sweep > 288:
+            # beyond the VMEM cap: chunked sweep with HBM (c',d') staging
+            from ..ops.pallas_sweep_long import fused_sweep_long as fused_sweep
+        elif (backend in ("fused_dma", "fused_merge", "fused_full")
                 and plan is None):
             from ..ops.pallas_sweep_dma import fused_sweep_dma as fused_sweep
         else:
@@ -249,14 +252,16 @@ def _build_and_solve_3d(axis: int, rhs: State3D, temp: State3D, ga: GridArrays3D
                 jax.sharding.PartitionSpec(None, plan.axis, None, None)))
         return x
 
-    # the fused kernel keeps whole lines VMEM-resident; beyond ~300 cells the
-    # blocks exceed the budget -> fall back to the two-pass kernel
+    # the fused kernels keep whole lines VMEM-resident up to ~288 cells;
+    # beyond that the chunked long-line kernel takes over (single chip);
+    # sharded fused runs stay under the shard_map wrapper's cap
     n_sweep = rhs.u.shape[axis]
     wavefront_x = (axis == 0 and plan is not None
                    and getattr(plan, "nblockz", 0) > 1)
     solver = (solve_fused if (backend in ("fused", "fused_dma", "fused_merge",
                                           "fused_full")
-                              and n_sweep <= 288 and not wavefront_x)
+                              and (plan is None or n_sweep <= 288)
+                              and not wavefront_x)
               else solve_with_cls)
     x = solver(ga.cls_a[axis])
     if ga.cls_b[axis] is not None:

@@ -190,3 +190,34 @@ def test_tridiag_pallas_interpret_matches_scan():
         x_pl = np.asarray(pt.tridiag_pallas(*map(jnp.array, (a, b, c, d)),
                                             n_tile=8, s_tile=8))
     np.testing.assert_allclose(x_pl, x_scan, rtol=1e-6, atol=1e-6)
+
+
+def test_fused_sweep_long_matches_fused():
+    """Chunked long-line kernel (ops/pallas_sweep_long.py) == the
+    VMEM-resident kernel bitwise, across chunk counts and both axes."""
+    import jax.numpy as jnp
+    from cmcfs_tpu.ops.pallas_sweep import fused_sweep
+    from cmcfs_tpu.ops.pallas_sweep_long import fused_sweep_long
+    from cmcfs_tpu.ops import masks
+    from cmcfs_tpu.geom.synthetic import lid_cavity_3d
+
+    grid = lid_cavity_3d(40, 48, 20)
+    t = grid.types
+    rng = np.random.default_rng(0)
+    adv = jnp.asarray(rng.normal(size=t.shape).astype(np.float32) * 0.1)
+    d4 = jnp.asarray(rng.normal(size=(4,) + t.shape).astype(np.float32))
+    scal = jnp.asarray([2.0, 1.5, 30.0, 5.0], jnp.float32)
+    bcv = jnp.asarray(grid.bc_vel)
+    bct = jnp.asarray(grid.bc_temp)
+    for ax in (0, 1):
+        lc = masks.line_class_3d(t, axis=ax)
+        cls = jnp.asarray(lc.cls_a)
+        interior = cls == masks.INTERIOR
+        isbc = (cls == masks.BC0) | (cls == masks.BC1)
+        d4f = jnp.where(interior | isbc, d4, 0.0)
+        ref = np.asarray(fused_sweep(adv, cls, bcv, bct, d4f, scal,
+                                     sweep_axis=ax, exact=True))
+        for chunk in (16, 24):
+            x = fused_sweep_long(adv, cls, bcv, bct, d4f, scal,
+                                 sweep_axis=ax, exact=True, chunk=chunk)
+            np.testing.assert_array_equal(np.asarray(x), ref)
