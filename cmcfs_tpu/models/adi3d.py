@@ -369,9 +369,16 @@ def _solve_direction_3d(axis: int, rhs: State3D, temp: State3D, out_layer: State
                         merge_ok: bool = False):
     """Reference SolveDirection (AdiSolver3D.cpp:564-666), CPU semantics."""
     n_sweep = rhs.u.shape[axis]
-    cap = 256 if backend == "fused_full" else 288
+    if backend == "fused_full":
+        ok_size = n_sweep <= 256
+    elif backend == "fused_merge":
+        from ..ops.pallas_sweep_dma2 import fits
+        n_other = rhs.u.shape[1] if axis == 2 else rhs.u.shape[2]
+        ok_size = fits(n_sweep, n_other)
+    else:
+        ok_size = False
     if (backend in ("fused_merge", "fused_full") and plan is None and merge_ok
-            and ga.cls_b[axis] is None and n_sweep <= cap):
+            and ga.cls_b[axis] is None and ok_size):
         fused_dir = (_solve_stream_fused if backend == "fused_full"
                      else _solve_merge_fused)
         out = out_layer

@@ -7,9 +7,11 @@ import argparse
 import os
 
 
-def gen(outdir: str, dx: float = 0.0041, time_steps: int = 4,
+def gen(outdir: str, dx: float = 0.00409, time_steps: int = 4,
         num_global: int = 4, num_local: int = 2, side_mm: float = 1000.0,
-        valve: bool = True):
+        valve: bool = True, depth: float = 1.04):
+    # defaults land the grid at exactly 256x256x256 (BASELINE.md's stated
+    # 3D config) — also tile-aligned, so no padded compute is wasted
     os.makedirs(outdir, exist_ok=True)
     data = os.path.join(outdir, "box_data.txt")
     cfg = os.path.join(outdir, "box_config.txt")
@@ -31,7 +33,7 @@ def gen(outdir: str, dx: float = 0.0041, time_steps: int = 4,
     with open(cfg, "w") as f:
         f.write(f"""dimension\t3D
 in_fmt\t\tShape2D
-depth\t\t1.0
+depth\t\t{depth}
 Re\t\t200.0
 Pr\t\t0.72
 lambda\t\t1.4

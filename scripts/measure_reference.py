@@ -23,7 +23,7 @@ from scripts.gen_box_case import gen, gen_2d  # noqa: E402
 
 
 def run(case_dir: str, time_steps: int) -> tuple[float, tuple[int, int, int]]:
-    data, cfg = gen(case_dir, dx=float(os.environ.get("BENCH_DX", "0.0041")),
+    data, cfg = gen(case_dir, dx=float(os.environ.get("BENCH_DX", "0.00409")),
                     time_steps=time_steps)
     t0 = time.time()
     r = subprocess.run([BIN, "box_data.txt", "bx", "box_config.txt"],

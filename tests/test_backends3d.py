@@ -1,0 +1,36 @@
+"""All 3D solver backends must agree with the exact-order scan on one full
+step (CPU: Pallas interpreter; on TPU the fused family is bitwise)."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from cmcfs_tpu.core.types import NodeType
+from cmcfs_tpu.ops.masks import INTERIOR
+
+
+def _setup():
+    import __graft_entry__ as g
+    adi3d, ga, cur, pa = g._setup(32, 19, 21, "scan")
+    is_in = np.asarray(ga.types) == NodeType.IN
+    merge_ok = tuple(
+        bool(((np.asarray(ga.cls_a[ax]) == INTERIOR) == is_in).all())
+        for ax in range(3))
+    return adi3d, ga, cur, pa, merge_ok
+
+
+@pytest.mark.parametrize("backend", ["fused", "fused_dma", "fused_merge",
+                                     "fused_full"])
+def test_backend_matches_scan(backend):
+    adi3d, ga, cur, pa, merge_ok = _setup()
+    dt = jnp.float32(0.01)
+    ref, e0 = adi3d.adi_timestep_3d(cur, cur, ga, dt, 2, 2, pa,
+                                    backend="scan", exact=True,
+                                    compute_error=True)
+    out, e1 = adi3d.adi_timestep_3d(cur, cur, ga, dt, 2, 2, pa,
+                                    backend=backend, exact=True,
+                                    compute_error=True, merge_ok=merge_ok)
+    for r, o in zip(ref, out):
+        # interpret-mode FMA contraction costs ~1 ulp on CPU (bitwise on TPU)
+        np.testing.assert_allclose(np.asarray(o), np.asarray(r),
+                                   rtol=0, atol=5e-7)
+    assert abs(float(e0) - float(e1)) < 1e-9
