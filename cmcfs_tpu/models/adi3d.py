@@ -158,12 +158,17 @@ def _build_and_solve_3d(axis: int, rhs: State3D, temp: State3D, ga: GridArrays3D
         """One fused build+solve kernel for all 4 vars (ops/pallas_sweep.py
         or the manual-DMA variant in ops/pallas_sweep_dma.py); under a mesh
         the same kernel runs per shard via shard_map."""
+        use_bf16 = False
         if plan is None and n_sweep > 288:
             # beyond the VMEM cap: chunked sweep with HBM (c',d') staging
             from ..ops.pallas_sweep_long import fused_sweep_long as fused_sweep
-        elif (backend in ("fused_dma", "fused_merge", "fused_full")
-                and plan is None):
+        elif backend in ("fused_dma", "fused_merge", "fused_full",
+                         "fused_bf16"):
             from ..ops.pallas_sweep_dma import fused_sweep_dma as fused_sweep
+            # bf16 storage mode: kernel HBM traffic halves; the Thomas
+            # recurrence still runs in f32 inside the kernel (a TPU-native
+            # speed/accuracy trade with no reference counterpart)
+            use_bf16 = backend == "fused_bf16"
         else:
             from ..ops.pallas_sweep import fused_sweep
         ds = build_d_folded(cls)
@@ -181,11 +186,18 @@ def _build_and_solve_3d(axis: int, rhs: State3D, temp: State3D, ga: GridArrays3D
             args3 = (adv, cls, bcv, bct)
             d4 = jnp.stack(ds)
             kaxis = axis
+        if use_bf16:
+            # the cast fuses into the producing elementwise ops, so the RHS
+            # only ever hits HBM as bf16 (the solution comes back bf16 too);
+            # adv stays f32 — it is read straight from the temp fields
+            d4 = d4.astype(jnp.bfloat16)
         if plan is None:
             x = fused_sweep(*args3, d4, scal, sweep_axis=kaxis, exact=exact)
         else:
             x = _sharded_fused(fused_sweep, plan, args3, d4, scal, kaxis,
                                exact)
+        if use_bf16:
+            x = x.astype(jnp.float32)
         return jnp.swapaxes(x, 2, 3) if axis == 2 else x
 
     def solve_with_cls(cls):
@@ -259,7 +271,7 @@ def _build_and_solve_3d(axis: int, rhs: State3D, temp: State3D, ga: GridArrays3D
     wavefront_x = (axis == 0 and plan is not None
                    and getattr(plan, "nblockz", 0) > 1)
     solver = (solve_fused if (backend in ("fused", "fused_dma", "fused_merge",
-                                          "fused_full")
+                                          "fused_full", "fused_bf16")
                               and (plan is None or n_sweep <= 288)
                               and not wavefront_x)
               else solve_with_cls)
@@ -418,12 +430,18 @@ def adi_timestep_3d(cur: State3D, nxt_prev: State3D, ga: GridArrays3D, dt,
     are re-seeded from cur before the sweeps).
     """
     if plan is not None:
-        # Sharded runs use the fused kernel via shard_map (_sharded_fused).
-        # The DMA variants aren't wired for shard_map yet -> plain fused;
-        # the two-pass "pallas" backend would run on GSPMD-sharded row
-        # arrays without a shard_map -> scan.
-        if backend in ("auto", "fused_dma", "fused_merge", "fused_full"):
-            backend = "fused"
+        # Sharded runs use the fused kernels via shard_map (_sharded_fused),
+        # including the manual-DMA hot path (the reference runs its fused
+        # CUDA kernels inside the multi-GPU configuration likewise,
+        # AdiSolver3D.cu:524-640).  The full-fusion merge backends fall back
+        # to the DMA sweep (their in-kernel merge is single-chip only); the
+        # two-pass "pallas" backend would run on GSPMD-sharded row arrays
+        # without a shard_map -> scan.
+        if backend == "auto":
+            backend = ("fused_dma" if jax.default_backend() == "tpu"
+                       else "fused")
+        elif backend in ("fused_merge", "fused_full"):
+            backend = "fused_dma"
         elif backend == "pallas":
             backend = "scan"
 
@@ -433,7 +451,7 @@ def adi_timestep_3d(cur: State3D, nxt_prev: State3D, ga: GridArrays3D, dt,
     # padded cells inert; types pad with OUT.
     pad = None
     if plan is None and backend in ("fused", "fused_dma", "fused_merge",
-                                    "fused_full"):
+                                    "fused_full", "fused_bf16"):
         nx, ny, nz = cur.u.shape
         tgt = (-nx % 8, -ny % 128, -nz % 128)
         grow = ((nx + tgt[0]) * (ny + tgt[1]) * (nz + tgt[2])) / max(

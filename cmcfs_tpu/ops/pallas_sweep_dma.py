@@ -35,13 +35,16 @@ def _solve_var(v, adv_v, pk_v, d_v, x_v, cp, dp, scal_ref, n, sweep_axis, exact)
     inv2h = scal_ref[3]
     vis = jnp.where(v == 3, t_vis_h2, v_vis_h2)
     b_int = inv3dt + 2.0 * vis
+    f32 = jnp.float32
 
     def row(ref, p):
+        # storage may be bf16 (half the HBM traffic); Thomas runs in f32
         if sweep_axis == 0:
-            return ref[p]
-        return ref[:, p, :]
+            return ref[p].astype(f32)
+        return ref[:, p, :].astype(f32)
 
     def set_row(ref, p, val):
+        val = val.astype(ref.dtype)
         if sweep_axis == 0:
             ref[p] = val
         else:
@@ -97,9 +100,15 @@ def _solve_var(v, adv_v, pk_v, d_v, x_v, cp, dp, scal_ref, n, sweep_axis, exact)
     jax.lax.fori_loop(0, n, bwd_body, zero)
 
 
-def _make_kernel(n, sweep_axis, exact):
-    def kernel(scal_ref, adv_hbm, pk_hbm, d_hbm, x_hbm,
-               adv_v, pk_v, d_v, x_v, cp, dp, in_sems, out_sems, sh_sems):
+def _make_kernel(n, sweep_axis, exact, bf16=False):
+    """``bf16``: the per-variable payload (RHS in, solution out — 8 of the 10
+    slabs per grid step) is stored bf16 in HBM, halving its traffic.  Mosaic
+    cannot issue sub-lane-strided bf16 row loads, so bf16 slabs are staged
+    through one full-slab (tile-aligned) cast to/from f32 work buffers; the
+    Thomas recurrence always runs in f32."""
+    def body(scal_ref, adv_hbm, pk_hbm, d_hbm, x_hbm,
+             adv_v, pk_v, d_v, x_v, cp, dp, in_sems, out_sems, sh_sems,
+             df=None, xf=None):
         j = pl.program_id(0)
 
         def slab(ref):
@@ -129,17 +138,35 @@ def _make_kernel(n, sweep_axis, exact):
             d_dma = pltpu.make_async_copy(d_slab(v), d_v, in_sems.at[0])
             d_dma.start()
             d_dma.wait()
+            if bf16:
+                df[...] = d_v[...].astype(jnp.float32)
             if v >= 2:
                 # x buffer reuse: the out-DMA started two vars ago used it
                 pltpu.make_async_copy(x_v.at[slot], x_slab(v - 2),
                                       out_sems.at[slot]).wait()
-            _solve_var(v, adv_v, pk_v, d_v, x_v.at[slot], cp, dp,
+            _solve_var(v, adv_v, pk_v, df if bf16 else d_v,
+                       xf if bf16 else x_v.at[slot], cp, dp,
                        scal_ref, n, sweep_axis, exact)
+            if bf16:
+                x_v[slot] = xf[...].astype(x_v.dtype)
             pltpu.make_async_copy(x_v.at[slot], x_slab(v), out_sems.at[slot]).start()
 
         pltpu.make_async_copy(x_v.at[0], x_slab(2), out_sems.at[0]).wait()
         pltpu.make_async_copy(x_v.at[1], x_slab(3), out_sems.at[1]).wait()
 
+    if bf16:
+        def kernel(scal_ref, adv_hbm, pk_hbm, d_hbm, x_hbm,
+                   adv_v, pk_v, d_v, x_v, df, xf, cp, dp,
+                   in_sems, out_sems, sh_sems):
+            body(scal_ref, adv_hbm, pk_hbm, d_hbm, x_hbm,
+                 adv_v, pk_v, d_v, x_v, cp, dp, in_sems, out_sems, sh_sems,
+                 df=df, xf=xf)
+    else:
+        def kernel(scal_ref, adv_hbm, pk_hbm, d_hbm, x_hbm,
+                   adv_v, pk_v, d_v, x_v, cp, dp,
+                   in_sems, out_sems, sh_sems):
+            body(scal_ref, adv_hbm, pk_hbm, d_hbm, x_hbm,
+                 adv_v, pk_v, d_v, x_v, cp, dp, in_sems, out_sems, sh_sems)
     return kernel
 
 
@@ -169,28 +196,40 @@ def fused_sweep_dma(adv, cls, bcv, bct, d4, scal, sweep_axis: int,
     pkp = pad3(packed)
     d4p = jnp.pad(d4, ((0, 0), (0, Ap - A), (0, Bp - B), (0, Cp - C)))
 
+    # storage dtype of the per-variable payload (RHS/solution) follows d4;
+    # adv/packed stay f32 (casting them would just add an extra HBM
+    # materialization — they are read straight from the f32 fields)
+    bf16 = d4.dtype == jnp.bfloat16
+
     slab_shape = (Ap, S_TILE, Cp) if sweep_axis == 0 else (S_TILE, Bp, Cp)
     n_blocks = (Bp if sweep_axis == 0 else Ap) // S_TILE
 
-    any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    scratch = [
+        pltpu.VMEM(slab_shape, jnp.float32),       # adv
+        pltpu.VMEM(slab_shape, jnp.float32),       # packed
+        pltpu.VMEM(slab_shape, d4.dtype),          # d (single buffer)
+        pltpu.VMEM((2,) + slab_shape, d4.dtype),   # x double buffer
+    ]
+    if bf16:
+        scratch += [pltpu.VMEM(slab_shape, jnp.float32),   # df work copy
+                    pltpu.VMEM(slab_shape, jnp.float32)]   # xf work copy
+    scratch += [
+        pltpu.VMEM(slab_shape, jnp.float32),       # cp (f32 carries)
+        pltpu.VMEM(slab_shape, jnp.float32),       # dp
+        pltpu.SemaphoreType.DMA((1,)),
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
     x = pl.pallas_call(
-        _make_kernel(n, sweep_axis, exact),
+        _make_kernel(n, sweep_axis, exact, bf16),
         grid=(n_blocks,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   any_spec, any_spec, any_spec],
         out_specs=any_spec,
-        out_shape=jax.ShapeDtypeStruct((4, Ap, Bp, Cp), adv.dtype),
-        scratch_shapes=[
-            pltpu.VMEM(slab_shape, adv.dtype),         # adv
-            pltpu.VMEM(slab_shape, adv.dtype),         # packed
-            pltpu.VMEM(slab_shape, adv.dtype),         # d (single buffer)
-            pltpu.VMEM((2,) + slab_shape, adv.dtype),  # x double buffer
-            pltpu.VMEM(slab_shape, adv.dtype),         # cp
-            pltpu.VMEM(slab_shape, adv.dtype),         # dp
-            pltpu.SemaphoreType.DMA((1,)),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        out_shape=jax.ShapeDtypeStruct((4, Ap, Bp, Cp), d4.dtype),
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=(jax.default_backend() != "tpu"),
     )(scal, advp, pkp, d4p)

@@ -237,7 +237,7 @@ def fused_sweep_merge(adv, cls, bcv, bct, d4, out_prev4, temp4, scal,
     slab = (Ap, S_TILE, Cp) if sweep_axis == 0 else (S_TILE, Bp, Cp)
     n_blocks = (Bp if sweep_axis == 0 else Ap) // S_TILE
 
-    any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
     out, tn = pl.pallas_call(
         _make_kernel(n, sweep_axis, exact),
         grid=(n_blocks,),

@@ -222,7 +222,7 @@ def fused_sweep_long(adv, cls, bcv, bct, d4, scal, sweep_axis: int,
     slab = (ch, S_TILE, Cp) if sweep_axis == 0 else (S_TILE, ch, Cp)
     n_blocks = (Bp if sweep_axis == 0 else Ap) // S_TILE
 
-    any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
     x, _, _ = pl.pallas_call(
         _make_kernel(n, n_chunks, ch, sweep_axis, exact),
         grid=(n_blocks,),

@@ -327,7 +327,7 @@ def fused_sweep_stream(temp4, cls, bcv, bct, rhs4, out_prev4, forcing, scal,
     n_blocks = (Bp if sweep_axis == 0 else Ap) // S_TILE
     c_blocks = Cp // LANES
 
-    any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
     out, tn = pl.pallas_call(
         _make_kernel(n, sweep_axis, axis_var, exact),
         grid=(n_blocks, c_blocks),

@@ -201,8 +201,8 @@ def make_probe(n, mode):
         return pl.pallas_call(
             kernel,
             grid=(n // S_TILE, n // LANES),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 4,
-            out_specs=(pl.BlockSpec(memory_space=pltpu.ANY),) * 2,
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4,
+            out_specs=(pl.BlockSpec(memory_space=pl.ANY),) * 2,
             out_shape=(jax.ShapeDtypeStruct((4, n, n, n), jnp.float32),) * 2,
             input_output_aliases={2: 0},
             scratch_shapes=[

@@ -89,17 +89,23 @@ def test_sharded_fused_matches_scan_with_duals():
     cur_s = plan.shard_state(cur)
     ga_s = plan.shard_grid(ga)
 
-    ref, f1, sc = cur, cur_s, cur_s
+    ref, f1, fd, sc = cur, cur_s, cur_s, cur_s
     for _ in range(3):
         ref, _ = adi3d.adi_timestep_3d(ref, ref, ga, dt, 2, 2, pa,
                                        backend="fused", compute_error=False)
         f1, _ = adi3d.adi_timestep_3d(f1, f1, ga_s, dt, 2, 2, pa,
                                       backend="fused", compute_error=False,
                                       plan=plan)
+        # the manual-DMA hot path, sharded via the same shard_map wrapper
+        fd, _ = adi3d.adi_timestep_3d(fd, fd, ga_s, dt, 2, 2, pa,
+                                      backend="fused_dma", compute_error=False,
+                                      plan=plan)
         sc, e_sc = adi3d.adi_timestep_3d(sc, sc, ga_s, dt, 2, 2, pa,
                                          backend="scan", compute_error=True,
                                          plan=plan)
     for r, f in zip(ref, f1):
+        np.testing.assert_array_equal(np.asarray(f), np.asarray(r))
+    for r, f in zip(ref, fd):
         np.testing.assert_array_equal(np.asarray(f), np.asarray(r))
     for s, f in zip(sc, f1):
         np.testing.assert_allclose(np.asarray(f), np.asarray(s),
