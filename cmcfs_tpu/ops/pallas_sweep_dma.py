@@ -100,7 +100,7 @@ def _solve_var(v, adv_v, pk_v, d_v, x_v, cp, dp, scal_ref, n, sweep_axis, exact)
     jax.lax.fori_loop(0, n, bwd_body, zero)
 
 
-def _make_kernel(n, sweep_axis, exact, bf16=False):
+def _make_kernel(n, sweep_axis, exact, bf16=False, s_tile=S_TILE):
     """``bf16``: the per-variable payload (RHS in, solution out — 8 of the 10
     slabs per grid step) is stored bf16 in HBM, halving its traffic.  Mosaic
     cannot issue sub-lane-strided bf16 row loads, so bf16 slabs are staged
@@ -113,18 +113,18 @@ def _make_kernel(n, sweep_axis, exact, bf16=False):
 
         def slab(ref):
             if sweep_axis == 0:
-                return ref.at[:, pl.ds(j * S_TILE, S_TILE), :]
-            return ref.at[pl.ds(j * S_TILE, S_TILE), :, :]
+                return ref.at[:, pl.ds(j * s_tile, s_tile), :]
+            return ref.at[pl.ds(j * s_tile, s_tile), :, :]
 
         def d_slab(vv):
             if sweep_axis == 0:
-                return d_hbm.at[vv, :, pl.ds(j * S_TILE, S_TILE), :]
-            return d_hbm.at[vv, pl.ds(j * S_TILE, S_TILE), :, :]
+                return d_hbm.at[vv, :, pl.ds(j * s_tile, s_tile), :]
+            return d_hbm.at[vv, pl.ds(j * s_tile, s_tile), :, :]
 
         def x_slab(vv):
             if sweep_axis == 0:
-                return x_hbm.at[vv, :, pl.ds(j * S_TILE, S_TILE), :]
-            return x_hbm.at[vv, pl.ds(j * S_TILE, S_TILE), :, :]
+                return x_hbm.at[vv, :, pl.ds(j * s_tile, s_tile), :]
+            return x_hbm.at[vv, pl.ds(j * s_tile, s_tile), :, :]
 
         adv_dma = pltpu.make_async_copy(slab(adv_hbm), adv_v, sh_sems.at[0])
         pk_dma = pltpu.make_async_copy(slab(pk_hbm), pk_v, sh_sems.at[1])
@@ -174,17 +174,21 @@ def _ceil_to(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-@functools.partial(jax.jit, static_argnames=("sweep_axis", "exact"))
+@functools.partial(jax.jit, static_argnames=("sweep_axis", "exact", "s_tile"))
 def fused_sweep_dma(adv, cls, bcv, bct, d4, scal, sweep_axis: int,
-                    exact: bool = True):
-    """Drop-in equivalent of pallas_sweep.fused_sweep with manual slab DMA."""
+                    exact: bool = True, s_tile: int = S_TILE):
+    """Drop-in equivalent of pallas_sweep.fused_sweep with manual slab DMA.
+
+    ``s_tile``: slab thickness along the batch (grid) dimension — bigger
+    slabs mean fewer, larger DMAs (this pool chip is DMA-latency-bound) at
+    the cost of proportionally more VMEM."""
     A, B, C = adv.shape
     # pad every dim: padded cells are identity rows (cls 0, d 0) which pass
     # the Thomas carries through unchanged, so padding the sweep length is
     # safe (the real last row's c is already 0 by construction)
     Cp = _ceil_to(C, LANES)
-    Ap = _ceil_to(A, S_TILE)
-    Bp = _ceil_to(B, S_TILE)
+    Ap = _ceil_to(A, s_tile if sweep_axis == 1 else S_TILE)
+    Bp = _ceil_to(B, s_tile if sweep_axis == 0 else S_TILE)
     n = (Ap, Bp)[sweep_axis]
 
     def pad3(x):
@@ -201,8 +205,8 @@ def fused_sweep_dma(adv, cls, bcv, bct, d4, scal, sweep_axis: int,
     # materialization — they are read straight from the f32 fields)
     bf16 = d4.dtype == jnp.bfloat16
 
-    slab_shape = (Ap, S_TILE, Cp) if sweep_axis == 0 else (S_TILE, Bp, Cp)
-    n_blocks = (Bp if sweep_axis == 0 else Ap) // S_TILE
+    slab_shape = (Ap, s_tile, Cp) if sweep_axis == 0 else (s_tile, Bp, Cp)
+    n_blocks = (Bp if sweep_axis == 0 else Ap) // s_tile
 
     scratch = [
         pltpu.VMEM(slab_shape, jnp.float32),       # adv
@@ -223,14 +227,19 @@ def fused_sweep_dma(adv, cls, bcv, bct, d4, scal, sweep_axis: int,
 
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     x = pl.pallas_call(
-        _make_kernel(n, sweep_axis, exact, bf16),
+        _make_kernel(n, sweep_axis, exact, bf16, s_tile),
         grid=(n_blocks,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   any_spec, any_spec, any_spec],
         out_specs=any_spec,
         out_shape=jax.ShapeDtypeStruct((4, Ap, Bp, Cp), d4.dtype),
         scratch_shapes=scratch,
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        # bigger slabs need more than the 16MB default scoped-VMEM budget
+        # (v5e has 128MB physical); grant what the scratch actually needs
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            vmem_limit_bytes=min(100 * 1024 * 1024,
+                                 max(32, 4 * s_tile) * 1024 * 1024)),
         interpret=(jax.default_backend() != "tpu"),
     )(scal, advp, pkp, d4p)
 
