@@ -137,7 +137,7 @@ def main():
     args = ap.parse_args()
 
     if args.case == "2d1024":
-        res = run_bench_2d(backend="auto")
+        res = run_bench_2d(backend=args.backend)
     else:
         res = run_bench(size_dx=args.dx, steps=args.steps, backend=args.backend)
 

@@ -89,6 +89,48 @@ def _build_and_solve(axis: int, cur: State2D, temp_local: State2D,
     d_v = cur.v / dt - (pa.v_T * grad_T if axis == 1 else 0.0)
     d_T = cur.T / dt + pa.t_phi * diss
 
+    if backend in ("fused", "fused_dma", "fused_bf16"):
+        # the 3D fused build+solve kernels run the 2D system too (3 vars,
+        # 2D boundary rows): lines go on the kernel's sweep axis 0, the
+        # batch dimension splits into (sublane-tiles, 128 lanes)
+        from ..core.types import BCtype
+        from ..ops.pallas_sweep_dma import fused_sweep_dma
+        from ..ops.pallas_sweep_long import fused_sweep_long
+        free = ga.bct == BCtype.FREE
+        is_bc = is_bc0 | is_bc1
+
+        def fold(d_int, val):
+            d_bc = jnp.where(free, 0.0, val)
+            return jnp.where(interior, d_int,
+                             jnp.where(is_bc, d_bc, 0.0))
+
+        ds = [fold(d_u, ga.bc_u), fold(d_v, ga.bc_v), fold(d_T, ga.bc_T)]
+        scal = jnp.stack([v_vis_h2, t_vis_h2, inv_dt, 1.0 / (2.0 * h)])
+        bct_f = ga.bct.astype(jnp.float32)
+        arrs = [adv, cls.astype(jnp.float32), bct_f] + ds
+        if axis == 1:
+            arrs = [jnp.swapaxes(m, 0, 1) for m in arrs]
+        n_sweep, batch = arrs[0].shape
+        bp = -(-batch // 128) * 128
+        arrs = [jnp.pad(m, ((0, 0), (0, bp - batch))).reshape(
+                    n_sweep, bp // 128, 128) for m in arrs]
+        a3, c3, b3 = arrs[0], arrs[1], arrs[2]
+        d3 = jnp.stack(arrs[3:])
+        if n_sweep > 288:
+            # chunked long-line kernel (f32-only staging)
+            x3 = fused_sweep_long(a3, c3, b3, b3, d3, scal, sweep_axis=0,
+                                  exact=exact, t_var=2, bc2d=True)
+        else:
+            if backend == "fused_bf16":
+                d3 = d3.astype(jnp.bfloat16)
+            x3 = fused_sweep_dma(a3, c3, b3, b3, d3, scal, sweep_axis=0,
+                                 exact=exact, s_tile=min(8, bp // 128),
+                                 t_var=2, bc2d=True)
+        x3 = x3.astype(jnp.float32).reshape(3, n_sweep, bp)[:, :, :batch]
+        if axis == 1:
+            x3 = jnp.swapaxes(x3, 1, 2)
+        return State2D(u=x3[0], v=x3[1], T=x3[2])
+
     rows = [assemble(v_vis_h2, d_u, ga.bc_u),
             assemble(v_vis_h2, d_v, ga.bc_v),
             assemble(t_vis_h2, d_T, ga.bc_T)]

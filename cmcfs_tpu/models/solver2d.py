@@ -80,6 +80,14 @@ class Solver2DBase:
 class AdiSolver2D(Solver2DBase):
     name = "ADI"
 
+    def __init__(self, backend: str = "auto", exact: bool = True):
+        if backend == "auto":
+            import jax
+            # fused single-kernel sweeps on TPU (as in 3D); scan elsewhere
+            backend = ("fused_dma" if jax.default_backend() == "tpu"
+                       else "scan")
+        super().__init__(backend, exact)
+
     def time_step(self, dt: float, num_global: int, num_local: int) -> None:
         nxt, err, it = adi2d.adi_timestep_2d(
             self.cur, self.ga, jnp.float32(dt), jnp.int32(num_global), num_local,

@@ -28,12 +28,13 @@ LANES = 128
 S_TILE = 8
 
 
-def _solve_var(v, adv_v, pk_v, d_v, x_v, cp, dp, scal_ref, n, sweep_axis, exact):
+def _solve_var(v, adv_v, pk_v, d_v, x_v, cp, dp, scal_ref, n, sweep_axis,
+               exact, t_var=3, bc2d=False):
     v_vis_h2 = scal_ref[0]
     t_vis_h2 = scal_ref[1]
     inv3dt = scal_ref[2]
     inv2h = scal_ref[3]
-    vis = jnp.where(v == 3, t_vis_h2, v_vis_h2)
+    vis = t_vis_h2 if v == t_var else v_vis_h2
     b_int = inv3dt + 2.0 * vis
     f32 = jnp.float32
 
@@ -56,19 +57,31 @@ def _solve_var(v, adv_v, pk_v, d_v, x_v, cp, dp, scal_ref, n, sweep_axis, exact)
         r = pk - 8.0 * bct
         bcv = jnp.floor(r * 0.25)
         cls = r - 4.0 * bcv
-        bc = jnp.where(v == 3, bct, bcv)
+        bc = bct if v == t_var else bcv
         adv = row(adv_v, p)
         interior = cls == INTERIOR
         is_bc0 = cls == BC0
         is_bc1 = cls == BC1
         free = bc == 1
         adv_2h = adv * inv2h
-        a = jnp.where(interior, -adv_2h - vis,
-                      jnp.where(is_bc1, jnp.where(free, -1.0, 0.0), 0.0))
-        b = jnp.where(interior, b_int,
-                      jnp.where(is_bc0 | is_bc1, jnp.where(free, 2.0, 1.0), 1.0))
-        c = jnp.where(interior, adv_2h - vis,
-                      jnp.where(is_bc0, jnp.where(free, -1.0, 0.0), 0.0))
+        if bc2d:
+            # 2D boundary rows (AdiSolver2D.cpp:74-116): FREE is the
+            # difference stencil x0-x1=0 / x_{n-2}-x_{n-1}=0 (+1/-1 signs),
+            # unlike the 3D free-extrapolation (2,-1) rows
+            a = jnp.where(interior, -adv_2h - vis,
+                          jnp.where(is_bc1, jnp.where(free, 1.0, 0.0), 0.0))
+            b = jnp.where(interior, b_int,
+                          jnp.where(is_bc1, jnp.where(free, -1.0, 1.0), 1.0))
+            c = jnp.where(interior, adv_2h - vis,
+                          jnp.where(is_bc0, jnp.where(free, -1.0, 0.0), 0.0))
+        else:
+            a = jnp.where(interior, -adv_2h - vis,
+                          jnp.where(is_bc1, jnp.where(free, -1.0, 0.0), 0.0))
+            b = jnp.where(interior, b_int,
+                          jnp.where(is_bc0 | is_bc1,
+                                    jnp.where(free, 2.0, 1.0), 1.0))
+            c = jnp.where(interior, adv_2h - vis,
+                          jnp.where(is_bc0, jnp.where(free, -1.0, 0.0), 0.0))
         return a, b, c, row(d_v, p)
 
     def fwd_body(p, carry):
@@ -100,7 +113,8 @@ def _solve_var(v, adv_v, pk_v, d_v, x_v, cp, dp, scal_ref, n, sweep_axis, exact)
     jax.lax.fori_loop(0, n, bwd_body, zero)
 
 
-def _make_kernel(n, sweep_axis, exact, bf16=False, s_tile=S_TILE):
+def _make_kernel(n, sweep_axis, exact, bf16=False, s_tile=S_TILE, nvars=4,
+                 t_var=3, bc2d=False):
     """``bf16``: the per-variable payload (RHS in, solution out — 8 of the 10
     slabs per grid step) is stored bf16 in HBM, halving its traffic.  Mosaic
     cannot issue sub-lane-strided bf16 row loads, so bf16 slabs are staged
@@ -133,7 +147,7 @@ def _make_kernel(n, sweep_axis, exact, bf16=False, s_tile=S_TILE):
         adv_dma.wait()
         pk_dma.wait()
 
-        for v in range(4):
+        for v in range(nvars):
             slot = v % 2
             d_dma = pltpu.make_async_copy(d_slab(v), d_v, in_sems.at[0])
             d_dma.start()
@@ -146,13 +160,14 @@ def _make_kernel(n, sweep_axis, exact, bf16=False, s_tile=S_TILE):
                                       out_sems.at[slot]).wait()
             _solve_var(v, adv_v, pk_v, df if bf16 else d_v,
                        xf if bf16 else x_v.at[slot], cp, dp,
-                       scal_ref, n, sweep_axis, exact)
+                       scal_ref, n, sweep_axis, exact, t_var, bc2d)
             if bf16:
                 x_v[slot] = xf[...].astype(x_v.dtype)
             pltpu.make_async_copy(x_v.at[slot], x_slab(v), out_sems.at[slot]).start()
 
-        pltpu.make_async_copy(x_v.at[0], x_slab(2), out_sems.at[0]).wait()
-        pltpu.make_async_copy(x_v.at[1], x_slab(3), out_sems.at[1]).wait()
+        for vv in range(max(0, nvars - 2), nvars):
+            pltpu.make_async_copy(x_v.at[vv % 2], x_slab(vv),
+                                  out_sems.at[vv % 2]).wait()
 
     if bf16:
         def kernel(scal_ref, adv_hbm, pk_hbm, d_hbm, x_hbm,
@@ -174,14 +189,23 @@ def _ceil_to(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-@functools.partial(jax.jit, static_argnames=("sweep_axis", "exact", "s_tile"))
+@functools.partial(jax.jit, static_argnames=("sweep_axis", "exact", "s_tile",
+                                             "t_var", "bc2d"))
 def fused_sweep_dma(adv, cls, bcv, bct, d4, scal, sweep_axis: int,
-                    exact: bool = True, s_tile: int = S_TILE):
+                    exact: bool = True, s_tile: int = S_TILE,
+                    t_var: int | None = None, bc2d: bool = False):
     """Drop-in equivalent of pallas_sweep.fused_sweep with manual slab DMA.
 
     ``s_tile``: slab thickness along the batch (grid) dimension — bigger
     slabs mean fewer, larger DMAs (this pool chip is DMA-latency-bound) at
-    the cost of proportionally more VMEM."""
+    the cost of proportionally more VMEM.
+    ``t_var``/``bc2d``: variable count follows d4.shape[0]; t_var is the
+    temperature row index (t_vis + temp-BC codes) and bc2d selects the 2D
+    boundary-row forms — this lets the 2D solver (3 vars) run the same
+    kernel."""
+    nvars = d4.shape[0]
+    if t_var is None:
+        t_var = nvars - 1
     A, B, C = adv.shape
     # pad every dim: padded cells are identity rows (cls 0, d 0) which pass
     # the Thomas carries through unchanged, so padding the sweep length is
@@ -227,12 +251,12 @@ def fused_sweep_dma(adv, cls, bcv, bct, d4, scal, sweep_axis: int,
 
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     x = pl.pallas_call(
-        _make_kernel(n, sweep_axis, exact, bf16, s_tile),
+        _make_kernel(n, sweep_axis, exact, bf16, s_tile, nvars, t_var, bc2d),
         grid=(n_blocks,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   any_spec, any_spec, any_spec],
         out_specs=any_spec,
-        out_shape=jax.ShapeDtypeStruct((4, Ap, Bp, Cp), d4.dtype),
+        out_shape=jax.ShapeDtypeStruct((nvars, Ap, Bp, Cp), d4.dtype),
         scratch_shapes=scratch,
         # bigger slabs need more than the 16MB default scoped-VMEM budget
         # (v5e has 128MB physical); grant what the scratch actually needs

@@ -38,7 +38,8 @@ def _pick_chunk(n: int, cp: int) -> int:
     return ch
 
 
-def _make_kernel(n, n_chunks, ch, sweep_axis, exact):
+def _make_kernel(n, n_chunks, ch, sweep_axis, exact, nvars=4, t_var=3,
+                 bc2d=False):
     def row(ref, p):
         if sweep_axis == 0:
             return ref[p]
@@ -72,8 +73,8 @@ def _make_kernel(n, n_chunks, ch, sweep_axis, exact):
             return ref.at[vv, pl.ds(j * S_TILE, S_TILE),
                           pl.ds(k * ch, ch), :]
 
-        for v in range(4):
-            vis = jnp.where(v == 3, t_vis_h2, v_vis_h2)
+        for v in range(nvars):
+            vis = t_vis_h2 if v == t_var else v_vis_h2
             b_int = inv3dt + 2.0 * vis
 
             def build(p_global, p_local):
@@ -82,22 +83,35 @@ def _make_kernel(n, n_chunks, ch, sweep_axis, exact):
                 r = pk - 8.0 * bct
                 bcv = jnp.floor(r * 0.25)
                 cls = r - 4.0 * bcv
-                bc = jnp.where(v == 3, bct, bcv)
+                bc = bct if v == t_var else bcv
                 adv = row(adv_c, p_local)
                 interior = cls == INTERIOR
                 is_bc0 = cls == BC0
                 is_bc1 = cls == BC1
                 free = bc == 1
                 adv_2h = adv * inv2h
-                a = jnp.where(interior, -adv_2h - vis,
-                              jnp.where(is_bc1, jnp.where(free, -1.0, 0.0),
-                                        0.0))
-                b = jnp.where(interior, b_int,
-                              jnp.where(is_bc0 | is_bc1,
-                                        jnp.where(free, 2.0, 1.0), 1.0))
-                c = jnp.where(interior, adv_2h - vis,
-                              jnp.where(is_bc0, jnp.where(free, -1.0, 0.0),
-                                        0.0))
+                if bc2d:
+                    # 2D boundary rows (AdiSolver2D.cpp:74-116): FREE is the
+                    # +1/-1 difference stencil, not the 3D (2,-1) rows
+                    a = jnp.where(interior, -adv_2h - vis,
+                                  jnp.where(is_bc1,
+                                            jnp.where(free, 1.0, 0.0), 0.0))
+                    b = jnp.where(interior, b_int,
+                                  jnp.where(is_bc1,
+                                            jnp.where(free, -1.0, 1.0), 1.0))
+                    c = jnp.where(interior, adv_2h - vis,
+                                  jnp.where(is_bc0,
+                                            jnp.where(free, -1.0, 0.0), 0.0))
+                else:
+                    a = jnp.where(interior, -adv_2h - vis,
+                                  jnp.where(is_bc1,
+                                            jnp.where(free, -1.0, 0.0), 0.0))
+                    b = jnp.where(interior, b_int,
+                                  jnp.where(is_bc0 | is_bc1,
+                                            jnp.where(free, 2.0, 1.0), 1.0))
+                    c = jnp.where(interior, adv_2h - vis,
+                                  jnp.where(is_bc0,
+                                            jnp.where(free, -1.0, 0.0), 0.0))
                 a_eff = jnp.where(p_global == 0, 0.0, a)
                 c_eff = jnp.where(p_global == n - 1, 0.0, c)
                 return a_eff, b, c_eff, row(d_c, p_local)
@@ -193,10 +207,18 @@ def _ceil_to(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-@functools.partial(jax.jit, static_argnames=("sweep_axis", "exact", "chunk"))
+@functools.partial(jax.jit, static_argnames=("sweep_axis", "exact", "chunk",
+                                             "t_var", "bc2d"))
 def fused_sweep_long(adv, cls, bcv, bct, d4, scal, sweep_axis: int,
-                     exact: bool = True, chunk: int | None = None):
-    """Drop-in equivalent of fused_sweep for arbitrary sweep lengths."""
+                     exact: bool = True, chunk: int | None = None,
+                     t_var: int | None = None, bc2d: bool = False):
+    """Drop-in equivalent of fused_sweep for arbitrary sweep lengths.
+
+    Variable count follows d4.shape[0]; ``t_var``/``bc2d`` as in
+    fused_sweep_dma (2D solver support)."""
+    nvars = d4.shape[0]
+    if t_var is None:
+        t_var = nvars - 1
     A, B, C = adv.shape
     Cp = _ceil_to(C, LANES)
     Ap = _ceil_to(A, S_TILE)
@@ -224,12 +246,12 @@ def fused_sweep_long(adv, cls, bcv, bct, d4, scal, sweep_axis: int,
 
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     x, _, _ = pl.pallas_call(
-        _make_kernel(n, n_chunks, ch, sweep_axis, exact),
+        _make_kernel(n, n_chunks, ch, sweep_axis, exact, nvars, t_var, bc2d),
         grid=(n_blocks,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   any_spec, any_spec, any_spec],
         out_specs=(any_spec, any_spec, any_spec),
-        out_shape=(jax.ShapeDtypeStruct((4, Ap, Bp, Cp), adv.dtype),
+        out_shape=(jax.ShapeDtypeStruct((nvars, Ap, Bp, Cp), adv.dtype),
                    # (c', d') HBM staging, reused across the 4 variables
                    jax.ShapeDtypeStruct((Ap, Bp, Cp), adv.dtype),
                    jax.ShapeDtypeStruct((Ap, Bp, Cp), adv.dtype)),
