@@ -113,6 +113,38 @@ def test_sharded_fused_matches_scan_with_duals():
     assert np.isfinite(float(e_sc))
 
 
+def test_sharded_long_horizon_matches_single_device():
+    """10-step sharded trajectory (scan, 8-mesh, duals + balance-relevant
+    geometry) vs single-device — drift must stay at reduction-rounding
+    level over a horizon, not just 1-2 steps."""
+    from cmcfs_tpu.models import adi3d
+    from cmcfs_tpu.models.common3d import grid_arrays, init_state
+    from cmcfs_tpu.core.params import FluidParams
+    from cmcfs_tpu.parallel.mesh import make_x_mesh
+
+    grid = _baffled_cavity(32, 16, 16)
+    ga = grid_arrays(grid)
+    cur = init_state(grid)
+    p = FluidParams.normalized(200.0, 0.72, 1.4)
+    pa = adi3d.ParamsArgs3D(*[jnp.float32(x) for x in
+                              (p.v_T, p.v_vis, p.t_vis, p.t_phi,
+                               grid.dx, grid.dy, grid.dz)])
+    dt = jnp.float32(0.01)
+    plan = make_x_mesh(8)
+    cur_s = plan.shard_state(cur)
+    ga_s = plan.shard_grid(ga)
+    ref, out = cur, cur_s
+    for _ in range(10):
+        ref, e0 = adi3d.adi_timestep_3d(ref, ref, ga, dt, 2, 1, pa,
+                                        backend="scan")
+        out, e1 = adi3d.adi_timestep_3d(out, out, ga_s, dt, 2, 1, pa,
+                                        backend="scan", plan=plan)
+    for r, o in zip(ref, out):
+        np.testing.assert_allclose(np.asarray(o), np.asarray(r),
+                                   rtol=1e-5, atol=1e-6)
+    assert abs(float(e0) - float(e1)) < 1e-8
+
+
 def test_entry_compiles():
     import importlib.util, os
     spec = importlib.util.spec_from_file_location(
