@@ -144,21 +144,26 @@ def _make_kernel(n, sweep_axis, exact, bf16=False, s_tile=S_TILE, nvars=4,
         pk_dma = pltpu.make_async_copy(slab(pk_hbm), pk_v, sh_sems.at[1])
         adv_dma.start()
         pk_dma.start()
+        # RHS slabs are double-buffered: d(v+1) streams in while v solves,
+        # so no input DMA is exposed after the first
+        pltpu.make_async_copy(d_slab(0), d_v.at[0], in_sems.at[0]).start()
         adv_dma.wait()
         pk_dma.wait()
 
         for v in range(nvars):
             slot = v % 2
-            d_dma = pltpu.make_async_copy(d_slab(v), d_v, in_sems.at[0])
-            d_dma.start()
-            d_dma.wait()
+            pltpu.make_async_copy(d_slab(v), d_v.at[slot],
+                                  in_sems.at[slot]).wait()
+            if v + 1 < nvars:
+                pltpu.make_async_copy(d_slab(v + 1), d_v.at[1 - slot],
+                                      in_sems.at[1 - slot]).start()
             if bf16:
-                df[...] = d_v[...].astype(jnp.float32)
+                df[...] = d_v[slot].astype(jnp.float32)
             if v >= 2:
                 # x buffer reuse: the out-DMA started two vars ago used it
                 pltpu.make_async_copy(x_v.at[slot], x_slab(v - 2),
                                       out_sems.at[slot]).wait()
-            _solve_var(v, adv_v, pk_v, df if bf16 else d_v,
+            _solve_var(v, adv_v, pk_v, df if bf16 else d_v.at[slot],
                        xf if bf16 else x_v.at[slot], cp, dp,
                        scal_ref, n, sweep_axis, exact, t_var, bc2d)
             if bf16:
@@ -235,7 +240,7 @@ def fused_sweep_dma(adv, cls, bcv, bct, d4, scal, sweep_axis: int,
     scratch = [
         pltpu.VMEM(slab_shape, jnp.float32),       # adv
         pltpu.VMEM(slab_shape, jnp.float32),       # packed
-        pltpu.VMEM(slab_shape, d4.dtype),          # d (single buffer)
+        pltpu.VMEM((2,) + slab_shape, d4.dtype),   # d double buffer
         pltpu.VMEM((2,) + slab_shape, d4.dtype),   # x double buffer
     ]
     if bf16:
@@ -244,7 +249,7 @@ def fused_sweep_dma(adv, cls, bcv, bct, d4, scal, sweep_axis: int,
     scratch += [
         pltpu.VMEM(slab_shape, jnp.float32),       # cp (f32 carries)
         pltpu.VMEM(slab_shape, jnp.float32),       # dp
-        pltpu.SemaphoreType.DMA((1,)),
+        pltpu.SemaphoreType.DMA((2,)),
         pltpu.SemaphoreType.DMA((2,)),
         pltpu.SemaphoreType.DMA((2,)),
     ]
