@@ -16,6 +16,7 @@ pallas_sweep._kernel (same row build, same Thomas order).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -194,16 +195,28 @@ def _ceil_to(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _pick_s_tile() -> int:
+    """Default slab thickness, overridable via env CMCFS_S_TILE for tuning.
+
+    Measured (interleaved bench A/B, 256^3 ng=4 nl=2, 2026-08-16): s_tile=8
+    wins at the *step* level (54.0e6 vs 49.5e6 cell-upd/s for 32, -8%) even
+    though an isolated-kernel microbench slightly favors 32 — with only 8
+    grid blocks the first-block DMA exposure and the lost cross-block
+    pipelining outweigh the 4x lower DMA count."""
+    return int(os.environ.get("CMCFS_S_TILE", "0")) or S_TILE
+
+
 @functools.partial(jax.jit, static_argnames=("sweep_axis", "exact", "s_tile",
                                              "t_var", "bc2d"))
 def fused_sweep_dma(adv, cls, bcv, bct, d4, scal, sweep_axis: int,
-                    exact: bool = True, s_tile: int = S_TILE,
+                    exact: bool = True, s_tile: int | None = None,
                     t_var: int | None = None, bc2d: bool = False):
     """Drop-in equivalent of pallas_sweep.fused_sweep with manual slab DMA.
 
     ``s_tile``: slab thickness along the batch (grid) dimension — bigger
     slabs mean fewer, larger DMAs (this pool chip is DMA-latency-bound) at
-    the cost of proportionally more VMEM.
+    the cost of proportionally more VMEM.  None means the measured default
+    (8; override for tuning via env CMCFS_S_TILE — see _pick_s_tile).
     ``t_var``/``bc2d``: variable count follows d4.shape[0]; t_var is the
     temperature row index (t_vis + temp-BC codes) and bc2d selects the 2D
     boundary-row forms — this lets the 2D solver (3 vars) run the same
@@ -212,6 +225,8 @@ def fused_sweep_dma(adv, cls, bcv, bct, d4, scal, sweep_axis: int,
     if t_var is None:
         t_var = nvars - 1
     A, B, C = adv.shape
+    if s_tile is None:
+        s_tile = _pick_s_tile()
     # pad every dim: padded cells are identity rows (cls 0, d 0) which pass
     # the Thomas carries through unchanged, so padding the sweep length is
     # safe (the real last row's c is already 0 by construction)
