@@ -125,55 +125,104 @@ def _make_kernel(n, sweep_axis, exact, bf16=False, s_tile=S_TILE, nvars=4,
              adv_v, pk_v, d_v, x_v, cp, dp, in_sems, out_sems, sh_sems,
              df=None, xf=None):
         j = pl.program_id(0)
+        n_blocks = pl.num_programs(0)
+        # cross-block software pipeline: the shared slabs (and, for even
+        # nvars, the first RHS slab) of block j+1 stream in while block j
+        # computes, and block j's final output DMAs drain during block j+1
+        # — only the very first input and very last output are exposed.
+        jp = jax.lax.rem(j, 2)
 
-        def slab(ref):
+        def slab(ref, blk):
             if sweep_axis == 0:
-                return ref.at[:, pl.ds(j * s_tile, s_tile), :]
-            return ref.at[pl.ds(j * s_tile, s_tile), :, :]
+                return ref.at[:, pl.ds(blk * s_tile, s_tile), :]
+            return ref.at[pl.ds(blk * s_tile, s_tile), :, :]
 
-        def d_slab(vv):
+        def d_slab(vv, blk):
             if sweep_axis == 0:
-                return d_hbm.at[vv, :, pl.ds(j * s_tile, s_tile), :]
-            return d_hbm.at[vv, pl.ds(j * s_tile, s_tile), :, :]
+                return d_hbm.at[vv, :, pl.ds(blk * s_tile, s_tile), :]
+            return d_hbm.at[vv, pl.ds(blk * s_tile, s_tile), :, :]
 
-        def x_slab(vv):
+        def x_slab(vv, blk=None):
+            blk = j if blk is None else blk
             if sweep_axis == 0:
-                return x_hbm.at[vv, :, pl.ds(j * s_tile, s_tile), :]
-            return x_hbm.at[vv, pl.ds(j * s_tile, s_tile), :, :]
+                return x_hbm.at[vv, :, pl.ds(blk * s_tile, s_tile), :]
+            return x_hbm.at[vv, pl.ds(blk * s_tile, s_tile), :, :]
 
-        adv_dma = pltpu.make_async_copy(slab(adv_hbm), adv_v, sh_sems.at[0])
-        pk_dma = pltpu.make_async_copy(slab(pk_hbm), pk_v, sh_sems.at[1])
-        adv_dma.start()
-        pk_dma.start()
-        # RHS slabs are double-buffered: d(v+1) streams in while v solves,
-        # so no input DMA is exposed after the first
-        pltpu.make_async_copy(d_slab(0), d_v.at[0], in_sems.at[0]).start()
-        adv_dma.wait()
-        pk_dma.wait()
+        def start_shared(blk, par):
+            pltpu.make_async_copy(slab(adv_hbm, blk), adv_v.at[par],
+                                  sh_sems.at[par, 0]).start()
+            pltpu.make_async_copy(slab(pk_hbm, blk), pk_v.at[par],
+                                  sh_sems.at[par, 1]).start()
+
+        @pl.when(j == 0)
+        def _():
+            start_shared(j, jp)
+            pltpu.make_async_copy(d_slab(0, j), d_v.at[0],
+                                  in_sems.at[0]).start()
+
+        @pl.when(j + 1 < n_blocks)
+        def _():
+            start_shared(j + 1, 1 - jp)
+
+        pltpu.make_async_copy(slab(adv_hbm, j), adv_v.at[jp],
+                              sh_sems.at[jp, 0]).wait()
+        pltpu.make_async_copy(slab(pk_hbm, j), pk_v.at[jp],
+                              sh_sems.at[jp, 1]).wait()
 
         for v in range(nvars):
-            slot = v % 2
-            pltpu.make_async_copy(d_slab(v), d_v.at[slot],
-                                  in_sems.at[slot]).wait()
+            dslot = v % 2
+            pltpu.make_async_copy(d_slab(v, j), d_v.at[dslot],
+                                  in_sems.at[dslot]).wait()
             if v + 1 < nvars:
-                pltpu.make_async_copy(d_slab(v + 1), d_v.at[1 - slot],
-                                      in_sems.at[1 - slot]).start()
+                pltpu.make_async_copy(d_slab(v + 1, j), d_v.at[1 - dslot],
+                                      in_sems.at[1 - dslot]).start()
+            elif nvars % 2 == 0:
+                # even nvars: d slot 0 is free after var nvars-2's solve —
+                # prefetch the next block's d0 behind the final var's solve
+                @pl.when(j + 1 < n_blocks)
+                def _():
+                    pltpu.make_async_copy(d_slab(0, j + 1), d_v.at[0],
+                                          in_sems.at[0]).start()
             if bf16:
-                df[...] = d_v[slot].astype(jnp.float32)
+                df[...] = d_v[dslot].astype(jnp.float32)
+            xslot = v % 2
             if v >= 2:
                 # x buffer reuse: the out-DMA started two vars ago used it
-                pltpu.make_async_copy(x_v.at[slot], x_slab(v - 2),
-                                      out_sems.at[slot]).wait()
-            _solve_var(v, adv_v, pk_v, df if bf16 else d_v.at[slot],
-                       xf if bf16 else x_v.at[slot], cp, dp,
+                pltpu.make_async_copy(x_v.at[xslot], x_slab(v - 2),
+                                      out_sems.at[xslot]).wait()
+            else:
+                # the buffer's last out-DMA belongs to the previous block:
+                # whichever of its final two vars shares this slot parity
+                prev_v = (nvars - 1 if (nvars - 1) % 2 == v % 2
+                          else nvars - 2)
+
+                @pl.when(j > 0)
+                def _():
+                    pltpu.make_async_copy(x_v.at[xslot], x_slab(prev_v, j - 1),
+                                          out_sems.at[xslot]).wait()
+            _solve_var(v, adv_v.at[jp], pk_v.at[jp],
+                       df if bf16 else d_v.at[dslot],
+                       xf if bf16 else x_v.at[xslot], cp, dp,
                        scal_ref, n, sweep_axis, exact, t_var, bc2d)
             if bf16:
-                x_v[slot] = xf[...].astype(x_v.dtype)
-            pltpu.make_async_copy(x_v.at[slot], x_slab(v), out_sems.at[slot]).start()
+                x_v[xslot] = xf[...].astype(x_v.dtype)
+            pltpu.make_async_copy(x_v.at[xslot], x_slab(v),
+                                  out_sems.at[xslot]).start()
 
-        for vv in range(max(0, nvars - 2), nvars):
-            pltpu.make_async_copy(x_v.at[vv % 2], x_slab(vv),
-                                  out_sems.at[vv % 2]).wait()
+        if nvars % 2:
+            # odd nvars: d slot 0's last reader was the final var's solve, so
+            # the next block's d0 can only start now (it still overlaps the
+            # final output DMAs and the next block's shared-slab waits)
+            @pl.when(j + 1 < n_blocks)
+            def _():
+                pltpu.make_async_copy(d_slab(0, j + 1), d_v.at[0],
+                                      in_sems.at[0]).start()
+
+        @pl.when(j == n_blocks - 1)
+        def _():
+            for vv in range(max(0, nvars - 2), nvars):
+                pltpu.make_async_copy(x_v.at[vv % 2], x_slab(vv),
+                                      out_sems.at[vv % 2]).wait()
 
     if bf16:
         def kernel(scal_ref, adv_hbm, pk_hbm, d_hbm, x_hbm,
@@ -253,10 +302,10 @@ def fused_sweep_dma(adv, cls, bcv, bct, d4, scal, sweep_axis: int,
     n_blocks = (Bp if sweep_axis == 0 else Ap) // s_tile
 
     scratch = [
-        pltpu.VMEM(slab_shape, jnp.float32),       # adv
-        pltpu.VMEM(slab_shape, jnp.float32),       # packed
-        pltpu.VMEM((2,) + slab_shape, d4.dtype),   # d double buffer
-        pltpu.VMEM((2,) + slab_shape, d4.dtype),   # x double buffer
+        pltpu.VMEM((2,) + slab_shape, jnp.float32),  # adv (block-parity 2x)
+        pltpu.VMEM((2,) + slab_shape, jnp.float32),  # packed (block-parity)
+        pltpu.VMEM((2,) + slab_shape, d4.dtype),     # d double buffer
+        pltpu.VMEM((2,) + slab_shape, d4.dtype),     # x double buffer
     ]
     if bf16:
         scratch += [pltpu.VMEM(slab_shape, jnp.float32),   # df work copy
@@ -264,9 +313,9 @@ def fused_sweep_dma(adv, cls, bcv, bct, d4, scal, sweep_axis: int,
     scratch += [
         pltpu.VMEM(slab_shape, jnp.float32),       # cp (f32 carries)
         pltpu.VMEM(slab_shape, jnp.float32),       # dp
-        pltpu.SemaphoreType.DMA((2,)),
-        pltpu.SemaphoreType.DMA((2,)),
-        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SemaphoreType.DMA((2,)),      # in_sems
+        pltpu.SemaphoreType.DMA((2,)),      # out_sems
+        pltpu.SemaphoreType.DMA((2, 2)),    # sh_sems [parity, adv|pk]
     ]
 
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
