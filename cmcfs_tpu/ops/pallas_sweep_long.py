@@ -28,14 +28,20 @@ from .masks import BC0, BC1, INTERIOR
 
 LANES = 128
 S_TILE = 8
-# 6 chunk slabs of 8*CH*Cp*4 bytes + carries must sit well inside 16 MB
-VMEM_BUDGET = 12 * 2 ** 20
+# 12 chunk slabs of 8*CH*Cp*4 bytes (everything double-buffered for the
+# cross-chunk DMA pipeline) must sit inside the scoped-VMEM grant
+VMEM_BUDGET = 48 * 2 ** 20
+VMEM_LIMIT = 64 * 2 ** 20
 
 
 def _pick_chunk(n: int, cp: int) -> int:
-    per_row = S_TILE * cp * 4 * 6
-    ch = max(8, min(n, VMEM_BUDGET // per_row) // 8 * 8)
-    return ch
+    """Largest 8-multiple chunk that fits VMEM, preferring an even split of
+    ``n`` (ceil(n/m) rows per chunk) so the sweep isn't padded — the old
+    greedy pick padded 384 -> 480 (ch=160)."""
+    per_row = S_TILE * cp * 4 * 12
+    ch_max = max(8, min(n, VMEM_BUDGET // per_row) // 8 * 8)
+    m = -(-n // ch_max)            # number of chunks
+    return _ceil_to(-(-n // m), 8)  # rows per chunk, 8-aligned
 
 
 def _make_kernel(n, n_chunks, ch, sweep_axis, exact, nvars=4, t_var=3,
@@ -54,7 +60,7 @@ def _make_kernel(n, n_chunks, ch, sweep_axis, exact, nvars=4, t_var=3,
     def kernel(scal_ref, adv_hbm, pk_hbm, d_hbm,
                x_hbm, cp_hbm, dp_hbm,
                adv_c, pk_c, d_c, cp_c, dp_c, x_c,
-               in_sems, out_sems):
+               in_sems, st_sems, x_sems):
         j = pl.program_id(0)
         v_vis_h2 = scal_ref[0]
         t_vis_h2 = scal_ref[1]
@@ -77,14 +83,14 @@ def _make_kernel(n, n_chunks, ch, sweep_axis, exact, nvars=4, t_var=3,
             vis = t_vis_h2 if v == t_var else v_vis_h2
             b_int = inv3dt + 2.0 * vis
 
-            def build(p_global, p_local):
-                pk = row(pk_c, p_local)
+            def build(p_global, p_local, kp):
+                pk = row(pk_c.at[kp], p_local)
                 bct = jnp.floor(pk * 0.125)
                 r = pk - 8.0 * bct
                 bcv = jnp.floor(r * 0.25)
                 cls = r - 4.0 * bcv
                 bc = bct if v == t_var else bcv
-                adv = row(adv_c, p_local)
+                adv = row(adv_c.at[kp], p_local)
                 interior = cls == INTERIOR
                 is_bc0 = cls == BC0
                 is_bc1 = cls == BC1
@@ -114,30 +120,50 @@ def _make_kernel(n, n_chunks, ch, sweep_axis, exact, nvars=4, t_var=3,
                                             jnp.where(free, -1.0, 0.0), 0.0))
                 a_eff = jnp.where(p_global == 0, 0.0, a)
                 c_eff = jnp.where(p_global == n - 1, 0.0, c)
-                return a_eff, b, c_eff, row(d_c, p_local)
+                return a_eff, b, c_eff, row(d_c.at[kp], p_local)
 
-            # ---------------------------------------------- forward chunks
-            zero = jnp.zeros_like(row(adv_c, 0))
+            def start_fwd_in(k):
+                kp = k % 2
+                pltpu.make_async_copy(chunk3(adv_hbm, k), adv_c.at[kp],
+                                      in_sems.at[kp, 0]).start()
+                pltpu.make_async_copy(chunk3(pk_hbm, k), pk_c.at[kp],
+                                      in_sems.at[kp, 1]).start()
+                pltpu.make_async_copy(chunk4(d_hbm, v, k), d_c.at[kp],
+                                      in_sems.at[kp, 2]).start()
+
+            def wait_fwd_in(k):
+                kp = k % 2
+                pltpu.make_async_copy(chunk3(adv_hbm, k), adv_c.at[kp],
+                                      in_sems.at[kp, 0]).wait()
+                pltpu.make_async_copy(chunk3(pk_hbm, k), pk_c.at[kp],
+                                      in_sems.at[kp, 1]).wait()
+                pltpu.make_async_copy(chunk4(d_hbm, v, k), d_c.at[kp],
+                                      in_sems.at[kp, 2]).wait()
+
+            # ------------------------------- forward chunks (pipelined DMA)
+            # chunk k+1's inputs stream in while k eliminates; (c', d') rows
+            # stage out to HBM double-buffered — EXCEPT the last chunk's,
+            # which stay resident in VMEM for the backward pass to consume
+            # directly (for n_chunks == 1 nothing is staged at all)
+            zero = jnp.zeros_like(row(adv_c.at[0], 0))
             carry = (zero, zero)
+            start_fwd_in(0)
             for k in range(n_chunks):
-                a_in = pltpu.make_async_copy(chunk3(adv_hbm, k), adv_c,
-                                             in_sems.at[0])
-                p_in = pltpu.make_async_copy(chunk3(pk_hbm, k), pk_c,
-                                             in_sems.at[1])
-                d_in = pltpu.make_async_copy(chunk4(d_hbm, v, k), d_c,
-                                             in_sems.at[2])
-                a_in.start(); p_in.start(); d_in.start()
-                if k > 0:
-                    # previous chunk's (c', d') staging still DMA-ing out
-                    pltpu.make_async_copy(cp_c, chunk3(cp_hbm, k - 1),
-                                          out_sems.at[0]).wait()
-                    pltpu.make_async_copy(dp_c, chunk3(dp_hbm, k - 1),
-                                          out_sems.at[1]).wait()
-                a_in.wait(); p_in.wait(); d_in.wait()
+                kp = k % 2
+                if k + 1 < n_chunks:
+                    start_fwd_in(k + 1)
+                wait_fwd_in(k)
+                if k >= 2:
+                    # staging buffer reuse: the out-DMA from k-2 read it
+                    # (the last chunk also writes cp/dp, so it waits too)
+                    pltpu.make_async_copy(cp_c.at[kp], chunk3(cp_hbm, k - 2),
+                                          st_sems.at[kp, 0]).wait()
+                    pltpu.make_async_copy(dp_c.at[kp], chunk3(dp_hbm, k - 2),
+                                          st_sems.at[kp, 1]).wait()
 
-                def fwd_body(i, carry, k=k):
+                def fwd_body(i, carry, k=k, kp=kp):
                     c_prev, d_prev = carry
-                    a, b, c, d = build(k * ch + i, i)
+                    a, b, c, d = build(k * ch + i, i, kp)
                     denom = b - a * c_prev
                     if exact:
                         c_new = c / denom
@@ -146,8 +172,8 @@ def _make_kernel(n, n_chunks, ch, sweep_axis, exact, nvars=4, t_var=3,
                         r = pl.reciprocal(denom, approx=False)
                         c_new = c * r
                         d_new = (d - d_prev * a) * r
-                    set_row(cp_c, i, c_new)
-                    set_row(dp_c, i, d_new)
+                    set_row(cp_c.at[kp], i, c_new)
+                    set_row(dp_c.at[kp], i, d_new)
                     return c_new, d_new
 
                 def fwd_chunk(q, carry, _body=fwd_body):
@@ -157,48 +183,75 @@ def _make_kernel(n, n_chunks, ch, sweep_axis, exact, nvars=4, t_var=3,
                     return carry
 
                 carry = jax.lax.fori_loop(0, ch // 8, fwd_chunk, carry)
-                pltpu.make_async_copy(cp_c, chunk3(cp_hbm, k),
-                                      out_sems.at[0]).start()
-                pltpu.make_async_copy(dp_c, chunk3(dp_hbm, k),
-                                      out_sems.at[1]).start()
+                if k < n_chunks - 1:
+                    pltpu.make_async_copy(cp_c.at[kp], chunk3(cp_hbm, k),
+                                          st_sems.at[kp, 0]).start()
+                    pltpu.make_async_copy(dp_c.at[kp], chunk3(dp_hbm, k),
+                                          st_sems.at[kp, 1]).start()
 
-            pltpu.make_async_copy(cp_c, chunk3(cp_hbm, n_chunks - 1),
-                                  out_sems.at[0]).wait()
-            pltpu.make_async_copy(dp_c, chunk3(dp_hbm, n_chunks - 1),
-                                  out_sems.at[1]).wait()
+            # the backward pass starts at chunk n_chunks-1, whose (c', d')
+            # are already resident in parity (n_chunks-1)%2; its first DMA
+            # need is chunk n_chunks-2's staged rows
+            last_kp = (n_chunks - 1) % 2
 
-            # --------------------------------------------- backward chunks
+            def start_bwd_in(k):
+                kp = k % 2
+                pltpu.make_async_copy(chunk3(cp_hbm, k), cp_c.at[kp],
+                                      in_sems.at[kp, 0]).start()
+                pltpu.make_async_copy(chunk3(dp_hbm, k), dp_c.at[kp],
+                                      in_sems.at[kp, 1]).start()
+
+            def wait_bwd_in(k):
+                kp = k % 2
+                pltpu.make_async_copy(chunk3(cp_hbm, k), cp_c.at[kp],
+                                      in_sems.at[kp, 0]).wait()
+                pltpu.make_async_copy(chunk3(dp_hbm, k), dp_c.at[kp],
+                                      in_sems.at[kp, 1]).wait()
+
+            if n_chunks >= 2:
+                # chunk n-2's staging must have landed before re-reading it
+                # (every earlier chunk's was waited inside the forward loop)
+                k2 = n_chunks - 2
+                pltpu.make_async_copy(cp_c.at[k2 % 2], chunk3(cp_hbm, k2),
+                                      st_sems.at[k2 % 2, 0]).wait()
+                pltpu.make_async_copy(dp_c.at[k2 % 2], chunk3(dp_hbm, k2),
+                                      st_sems.at[k2 % 2, 1]).wait()
+                start_bwd_in(k2)
+
+            # -------------------------------- backward chunks (pipelined)
             x_next = zero
             for kq in range(n_chunks):
                 k = n_chunks - 1 - kq
-                c_in = pltpu.make_async_copy(chunk3(cp_hbm, k), cp_c,
-                                             in_sems.at[0])
-                e_in = pltpu.make_async_copy(chunk3(dp_hbm, k), dp_c,
-                                             in_sems.at[1])
-                c_in.start(); e_in.start()
+                kp = k % 2
+                if k - 1 >= 0 and kq > 0:
+                    start_bwd_in(k - 1)
                 if kq > 0:
-                    pltpu.make_async_copy(x_c, chunk4(x_hbm, v, k + 1),
-                                          out_sems.at[0]).wait()
-                c_in.wait(); e_in.wait()
+                    wait_bwd_in(k)
+                if kq >= 2:
+                    # x buffer reuse: the out-DMA from kq-2 used it
+                    pltpu.make_async_copy(x_c.at[kp],
+                                          chunk4(x_hbm, v, k + 2),
+                                          x_sems.at[kp]).wait()
 
-                def bwd_body(q, x_next):
+                def bwd_body(q, x_next, kp=kp):
                     i = ch - 1 - q
-                    x = row(dp_c, i) - row(cp_c, i) * x_next
-                    set_row(x_c, i, x)
+                    x = row(dp_c.at[kp], i) - row(cp_c.at[kp], i) * x_next
+                    set_row(x_c.at[kp], i, x)
                     return x
 
-                def bwd_chunk(qq, x_next):
+                def bwd_chunk(qq, x_next, _body=bwd_body):
                     base = qq * 8
                     for i in range(8):
-                        x_next = bwd_body(base + i, x_next)
+                        x_next = _body(base + i, x_next)
                     return x_next
 
                 x_next = jax.lax.fori_loop(0, ch // 8, bwd_chunk, x_next)
-                pltpu.make_async_copy(x_c, chunk4(x_hbm, v, k),
-                                      out_sems.at[0]).start()
+                pltpu.make_async_copy(x_c.at[kp], chunk4(x_hbm, v, k),
+                                      x_sems.at[kp]).start()
 
-            pltpu.make_async_copy(x_c, chunk4(x_hbm, v, 0),
-                                  out_sems.at[0]).wait()
+            for k in range(min(2, n_chunks)):
+                pltpu.make_async_copy(x_c.at[k % 2], chunk4(x_hbm, v, k),
+                                      x_sems.at[k % 2]).wait()
 
     return kernel
 
@@ -256,16 +309,18 @@ def fused_sweep_long(adv, cls, bcv, bct, d4, scal, sweep_axis: int,
                    jax.ShapeDtypeStruct((Ap, Bp, Cp), adv.dtype),
                    jax.ShapeDtypeStruct((Ap, Bp, Cp), adv.dtype)),
         scratch_shapes=[
-            pltpu.VMEM(slab, adv.dtype),   # adv chunk
-            pltpu.VMEM(slab, adv.dtype),   # packed-mask chunk
-            pltpu.VMEM(slab, adv.dtype),   # d chunk
-            pltpu.VMEM(slab, adv.dtype),   # c' chunk
-            pltpu.VMEM(slab, adv.dtype),   # d' chunk
-            pltpu.VMEM(slab, adv.dtype),   # x chunk
-            pltpu.SemaphoreType.DMA((3,)),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2,) + slab, adv.dtype),   # adv chunks (pipelined)
+            pltpu.VMEM((2,) + slab, adv.dtype),   # packed-mask chunks
+            pltpu.VMEM((2,) + slab, adv.dtype),   # d chunks
+            pltpu.VMEM((2,) + slab, adv.dtype),   # c' chunks
+            pltpu.VMEM((2,) + slab, adv.dtype),   # d' chunks
+            pltpu.VMEM((2,) + slab, adv.dtype),   # x chunks
+            pltpu.SemaphoreType.DMA((2, 3)),      # in_sems [parity, a|p|d]
+            pltpu.SemaphoreType.DMA((2, 2)),      # st_sems [parity, c'|d']
+            pltpu.SemaphoreType.DMA((2,)),        # x_sems [parity]
         ],
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True, vmem_limit_bytes=VMEM_LIMIT),
         interpret=(jax.default_backend() != "tpu"),
     )(scal, advp, pkp, d4p)
 
