@@ -24,8 +24,13 @@ class AdiSolver3D:
     def __init__(self, backend: str = "auto", exact: bool = True):
         if backend == "auto":
             import jax
-            # fused single-kernel sweeps on TPU; exact-order scan elsewhere
-            backend = "fused_dma" if jax.default_backend() == "tpu" else "scan"
+            # full-fusion streamed sweeps on TPU (in-kernel RHS build +
+            # UpdateSegment + merge, ops/pallas_sweep_stream.py — measured
+            # +4.5% over fused_dma at 256^3 once cross-block pipelined; it
+            # self-degrades to the fused_dma path wherever its guarantees
+            # fail: duals, sharding, long lines); exact-order scan elsewhere
+            backend = ("fused_full" if jax.default_backend() == "tpu"
+                       else "scan")
         self.backend = backend
         self.exact = exact
         self.last_err = 0.0

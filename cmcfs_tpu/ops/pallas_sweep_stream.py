@@ -49,7 +49,7 @@ S_TILE = 8
 MAX_SWEEP = 256
 
 
-def _make_kernel(n, sweep_axis, axis_var, exact):
+def _make_kernel(n, sweep_axis, axis_var, exact, c_blocks):
     def row(ref, p):
         if sweep_axis == 0:
             return ref[p]
@@ -73,36 +73,53 @@ def _make_kernel(n, sweep_axis, axis_var, exact):
                sh_sems, in_sems, out_sems):
         j = pl.program_id(0)
         cidx = pl.program_id(1)
+        # cross-block software pipeline over the linearized (j, cidx) grid:
+        # the next block's shared slabs (block-parity double-buffered) and
+        # first two variables' inputs stream during this block's solves; the
+        # final output DMAs drain during the next block
+        L = j * c_blocks + cidx
+        total = pl.num_programs(0) * pl.num_programs(1)
+        bp = jax.lax.rem(L, 2)
+        nj = jax.lax.div(L + 1, c_blocks)
+        nc = jax.lax.rem(L + 1, c_blocks)
         v_vis_h2 = scal_ref[0]
         t_vis_h2 = scal_ref[1]
         inv3dt = scal_ref[2]
         inv2h = scal_ref[3]
         v_T = scal_ref[4]
 
-        def slab3(ref):
+        def slab3(ref, jj=None, cc=None):
+            jj = j if jj is None else jj
+            cc = cidx if cc is None else cc
             if sweep_axis == 0:
-                return ref.at[:, pl.ds(j * S_TILE, S_TILE),
-                              pl.ds(cidx * LANES, LANES)]
-            return ref.at[pl.ds(j * S_TILE, S_TILE), :,
-                          pl.ds(cidx * LANES, LANES)]
+                return ref.at[:, pl.ds(jj * S_TILE, S_TILE),
+                              pl.ds(cc * LANES, LANES)]
+            return ref.at[pl.ds(jj * S_TILE, S_TILE), :,
+                          pl.ds(cc * LANES, LANES)]
 
-        def slab4(ref, vv):
+        def slab4(ref, vv, jj=None, cc=None):
+            jj = j if jj is None else jj
+            cc = cidx if cc is None else cc
             if sweep_axis == 0:
-                return ref.at[vv, :, pl.ds(j * S_TILE, S_TILE),
-                              pl.ds(cidx * LANES, LANES)]
-            return ref.at[vv, pl.ds(j * S_TILE, S_TILE), :,
-                          pl.ds(cidx * LANES, LANES)]
+                return ref.at[vv, :, pl.ds(jj * S_TILE, S_TILE),
+                              pl.ds(cc * LANES, LANES)]
+            return ref.at[vv, pl.ds(jj * S_TILE, S_TILE), :,
+                          pl.ds(cc * LANES, LANES)]
 
-        def start_inputs(v, slot):
-            pltpu.make_async_copy(slab4(rhs_hbm, v), in_buf.at[slot, 0],
+        def start_inputs(v, slot, jj=None, cc=None):
+            pltpu.make_async_copy(slab4(rhs_hbm, v, jj, cc),
+                                  in_buf.at[slot, 0],
                                   in_sems.at[slot, 0]).start()
-            pltpu.make_async_copy(slab4(op_hbm, v), in_buf.at[slot, 1],
+            pltpu.make_async_copy(slab4(op_hbm, v, jj, cc),
+                                  in_buf.at[slot, 1],
                                   in_sems.at[slot, 1]).start()
             if v == 3:
-                pltpu.make_async_copy(slab3(forc_hbm), in_buf.at[slot, 2],
+                pltpu.make_async_copy(slab3(forc_hbm, jj, cc),
+                                      in_buf.at[slot, 2],
                                       in_sems.at[slot, 2]).start()
             elif v != axis_var:
-                pltpu.make_async_copy(slab4(temp_hbm, v), in_buf.at[slot, 2],
+                pltpu.make_async_copy(slab4(temp_hbm, v, jj, cc),
+                                      in_buf.at[slot, 2],
                                       in_sems.at[slot, 2]).start()
 
         def wait_inputs(v, slot):
@@ -115,21 +132,35 @@ def _make_kernel(n, sweep_axis, axis_var, exact):
                 pltpu.make_async_copy(src, in_buf.at[slot, 2],
                                       in_sems.at[slot, 2]).wait()
 
-        # shared slabs + the first two variables' inputs, all concurrent
-        a_dma = pltpu.make_async_copy(slab4(temp_hbm, axis_var), adv_v,
-                                      sh_sems.at[0])
-        t_dma = pltpu.make_async_copy(slab4(temp_hbm, 3), T_v, sh_sems.at[1])
-        p_dma = pltpu.make_async_copy(slab3(pk_hbm), pk_v, sh_sems.at[2])
-        a_dma.start()
-        t_dma.start()
-        p_dma.start()
-        start_inputs(0, 0)
-        start_inputs(1, 1)
-        a_dma.wait()
-        t_dma.wait()
-        p_dma.wait()
+        def start_shared(par, jj, cc):
+            pltpu.make_async_copy(slab4(temp_hbm, axis_var, jj, cc),
+                                  adv_v.at[par], sh_sems.at[par, 0]).start()
+            pltpu.make_async_copy(slab4(temp_hbm, 3, jj, cc),
+                                  T_v.at[par], sh_sems.at[par, 1]).start()
+            pltpu.make_async_copy(slab3(pk_hbm, jj, cc),
+                                  pk_v.at[par], sh_sems.at[par, 2]).start()
 
-        zero = jnp.zeros_like(row(adv_v, 0))
+        @pl.when(L == 0)
+        def _():
+            start_shared(bp, j, cidx)
+            start_inputs(0, 0)
+            start_inputs(1, 1)
+
+        @pl.when(L + 1 < total)
+        def _():
+            start_shared(1 - bp, nj, nc)
+
+        pltpu.make_async_copy(slab4(temp_hbm, axis_var), adv_v.at[bp],
+                              sh_sems.at[bp, 0]).wait()
+        pltpu.make_async_copy(slab4(temp_hbm, 3), T_v.at[bp],
+                              sh_sems.at[bp, 1]).wait()
+        pltpu.make_async_copy(slab3(pk_hbm), pk_v.at[bp],
+                              sh_sems.at[bp, 2]).wait()
+        adv_b = adv_v.at[bp]
+        T_b = T_v.at[bp]
+        pk_b = pk_v.at[bp]
+
+        zero = jnp.zeros_like(row(adv_b, 0))
 
         def chunked(body, init):
             # manual 8-row unroll: per-row work that is off the carry chain
@@ -142,7 +173,7 @@ def _make_kernel(n, sweep_axis, axis_var, exact):
             return jax.lax.fori_loop(0, n // 8, chunk, init)
 
         def decode(p):
-            pk = row(pk_v, p)
+            pk = row(pk_b, p)
             bct = jnp.floor(pk * 0.125)
             r8 = pk - 8.0 * bct
             bcv = jnp.floor(r8 * 0.25)
@@ -150,7 +181,7 @@ def _make_kernel(n, sweep_axis, axis_var, exact):
             return cls, bcv, bct
 
         def build_a(p, cls, free, vis):
-            adv = row(adv_v, p)
+            adv = row(adv_b, p)
             a = jnp.where(cls == INTERIOR, -adv * inv2h - vis,
                           jnp.where(cls == BC1,
                                     jnp.where(free, -1.0, 0.0), 0.0))
@@ -170,7 +201,7 @@ def _make_kernel(n, sweep_axis, axis_var, exact):
                 free = (bct if for_T else bcv) == 1
                 interior = cls == INTERIOR
                 is_bc0 = cls == BC0
-                adv = row(adv_v, p)
+                adv = row(adv_b, p)
                 a = jnp.where(interior, -adv * inv2h - vis,
                               jnp.where(cls == BC1,
                                         jnp.where(free, -1.0, 0.0), 0.0))
@@ -198,8 +229,8 @@ def _make_kernel(n, sweep_axis, axis_var, exact):
         def solve_var(v, slot, vis):
             """d-elimination + back substitution + fused update/merge for
             one variable, using the group's precomputed (c', denom)."""
-            tv_ref = (adv_v if v == axis_var
-                      else (T_v if v == 3 else in_buf.at[slot, 2]))
+            tv_ref = (adv_b if v == axis_var
+                      else (T_b if v == 3 else in_buf.at[slot, 2]))
 
             def d_body(p, d_prev):
                 cls, bcv, bct = decode(p)
@@ -211,7 +242,7 @@ def _make_kernel(n, sweep_axis, axis_var, exact):
                 if v == axis_var:
                     pp = jnp.minimum(p + 1, n - 1)
                     pm = jnp.maximum(p - 1, 0)
-                    grad = (row(T_v, pp) - row(T_v, pm)) * inv2h
+                    grad = (row(T_b, pp) - row(T_b, pm)) * inv2h
                     d_int = d_int - v_T * grad
                 elif v == 3:
                     d_int = d_int + row(in_buf.at[slot, 2], p)
@@ -242,7 +273,7 @@ def _make_kernel(n, sweep_axis, axis_var, exact):
                 sl = ((slice(m * n // n_mrg, (m + 1) * n // n_mrg),)
                       if sweep_axis == 0 else
                       (slice(None), slice(m * n // n_mrg, (m + 1) * n // n_mrg)))
-                pk = pk_v[sl]
+                pk = pk_b[sl]
                 r8 = pk - 8.0 * jnp.floor(pk * 0.125)
                 cls = r8 - 4.0 * jnp.floor(r8 * 0.25)
                 written = cls != 0.0
@@ -264,6 +295,17 @@ def _make_kernel(n, sweep_axis, axis_var, exact):
                                       out_sems.at[slot, 0]).wait()
                 pltpu.make_async_copy(tn_buf.at[slot], slab4(tn_hbm, v - 2),
                                       out_sems.at[slot, 1]).wait()
+            else:
+                # the buffers' last out-DMAs belong to the previous block's
+                # var v+2 (same byte count — the wait only services the sem)
+                @pl.when(L > 0)
+                def _():
+                    pltpu.make_async_copy(out_buf.at[slot],
+                                          slab4(out_hbm, v),
+                                          out_sems.at[slot, 0]).wait()
+                    pltpu.make_async_copy(tn_buf.at[slot],
+                                          slab4(tn_hbm, v),
+                                          out_sems.at[slot, 1]).wait()
             if v == 3:
                 coeff_pass(t_vis_h2, for_T=True)    # overwrites cp/rbuf
             solve_var(v, slot, t_vis_h2 if v == 3 else v_vis_h2)
@@ -275,13 +317,21 @@ def _make_kernel(n, sweep_axis, axis_var, exact):
             if v + 2 <= 3:
                 # refill this slot's inputs for var v+2 while v+1 computes
                 start_inputs(v + 2, slot)
+            else:
+                # v's solve no longer reads in_buf[slot]: prefetch the next
+                # block's same-slot inputs (var v-2) behind the remaining work
+                @pl.when(L + 1 < total)
+                def _():
+                    start_inputs(v - 2, slot, nj, nc)
 
-        for v in (2, 3):
-            slot = v % 2
-            pltpu.make_async_copy(out_buf.at[slot], slab4(out_hbm, v),
-                                  out_sems.at[slot, 0]).wait()
-            pltpu.make_async_copy(tn_buf.at[slot], slab4(tn_hbm, v),
-                                  out_sems.at[slot, 1]).wait()
+        @pl.when(L == total - 1)
+        def _():
+            for v in (2, 3):
+                slot = v % 2
+                pltpu.make_async_copy(out_buf.at[slot], slab4(out_hbm, v),
+                                      out_sems.at[slot, 0]).wait()
+                pltpu.make_async_copy(tn_buf.at[slot], slab4(tn_hbm, v),
+                                      out_sems.at[slot, 1]).wait()
 
     return kernel
 
@@ -329,7 +379,7 @@ def fused_sweep_stream(temp4, cls, bcv, bct, rhs4, out_prev4, forcing, scal,
 
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     out, tn = pl.pallas_call(
-        _make_kernel(n, sweep_axis, axis_var, exact),
+        _make_kernel(n, sweep_axis, axis_var, exact, c_blocks),
         grid=(n_blocks, c_blocks),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [any_spec] * 5,
         out_specs=(any_spec, any_spec),
@@ -337,19 +387,20 @@ def fused_sweep_stream(temp4, cls, bcv, bct, rhs4, out_prev4, forcing, scal,
                    jax.ShapeDtypeStruct((4, Ap, Bp, Cp), temp4.dtype)),
         input_output_aliases={4: 0},    # out_prev buffer IS the output layer
         scratch_shapes=[
-            pltpu.VMEM(slab, temp4.dtype),          # adv (= temp[axis_var])
-            pltpu.VMEM(slab, temp4.dtype),          # T   (= temp[3])
-            pltpu.VMEM(slab, temp4.dtype),          # packed masks
+            pltpu.VMEM((2,) + slab, temp4.dtype),   # adv (block-parity 2x)
+            pltpu.VMEM((2,) + slab, temp4.dtype),   # T   (block-parity 2x)
+            pltpu.VMEM((2,) + slab, temp4.dtype),   # packed masks (2x)
             pltpu.VMEM((2, 3) + slab, temp4.dtype), # streamed inputs
             pltpu.VMEM((2,) + slab, temp4.dtype),   # out double buffer
             pltpu.VMEM((2,) + slab, temp4.dtype),   # temp_new double buffer
             pltpu.VMEM(slab, temp4.dtype),          # c' line
             pltpu.VMEM(slab, temp4.dtype),          # denom / 1/denom line
-            pltpu.SemaphoreType.DMA((3,)),
-            pltpu.SemaphoreType.DMA((2, 3)),
-            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((2, 3)),        # sh_sems [parity, a|T|p]
+            pltpu.SemaphoreType.DMA((2, 3)),        # in_sems
+            pltpu.SemaphoreType.DMA((2, 2)),        # out_sems
         ],
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True, vmem_limit_bytes=32 * 2 ** 20),
         interpret=(jax.default_backend() != "tpu"),
     )(scal, tp4, pkp, rp4, op4, fp)
 
