@@ -339,10 +339,12 @@ def _solve_merge_fused(axis: int, rhs: State3D, temp: State3D, out: State3D,
 
 
 def _solve_stream_fused(axis: int, rhs: State3D, temp: State3D, out: State3D,
-                        ga: GridArrays3D, dt, pa: ParamsArgs3D, exact: bool):
+                        ga: GridArrays3D, dt, pa: ParamsArgs3D, exact: bool,
+                        bf16: bool = False):
     """Streamed full-fusion path: in-kernel RHS build + solve + UpdateSegment
     + merge (ops/pallas_sweep_stream.py).  Same caller guarantees as
-    _solve_merge_fused."""
+    _solve_merge_fused.  ``bf16``: rhs/out payloads stored bf16 in HBM
+    (f32 compute; temp stays f32 so BC values remain exact)."""
     from ..ops.pallas_sweep_stream import fused_sweep_stream
     h = (pa.dx, pa.dy, pa.dz)[axis]
     if axis == 0:
@@ -357,6 +359,11 @@ def _solve_stream_fused(axis: int, rhs: State3D, temp: State3D, out: State3D,
     temp4 = jnp.stack(tuple(temp))
     rhs4 = jnp.stack(tuple(rhs))
     op4 = jnp.stack(tuple(out))
+    if bf16:
+        # the casts fuse into the producing ops, so the payload only ever
+        # hits HBM as bf16; outputs come back bf16 and upcast below
+        rhs4 = rhs4.astype(jnp.bfloat16)
+        op4 = op4.astype(jnp.bfloat16)
     cls = ga.cls_a[axis]
     if axis == 2:
         sw = lambda t: jnp.swapaxes(t, 1, 2)
@@ -371,6 +378,9 @@ def _solve_stream_fused(axis: int, rhs: State3D, temp: State3D, out: State3D,
                                     rhs4, op4, forcing, scal,
                                     sweep_axis=axis, axis_var=axis,
                                     exact=exact)
+    if bf16:
+        o4 = o4.astype(jnp.float32)
+        t4 = t4.astype(jnp.float32)
     return (State3D(t4[0], t4[1], t4[2], t4[3]),
             State3D(o4[0], o4[1], o4[2], o4[3]))
 
@@ -381,7 +391,7 @@ def _solve_direction_3d(axis: int, rhs: State3D, temp: State3D, out_layer: State
                         merge_ok: bool = False):
     """Reference SolveDirection (AdiSolver3D.cpp:564-666), CPU semantics."""
     n_sweep = rhs.u.shape[axis]
-    if backend == "fused_full":
+    if backend in ("fused_full", "fused_bf16"):
         ok_size = n_sweep <= 256
     elif backend == "fused_merge":
         from ..ops.pallas_sweep_dma2 import fits
@@ -389,10 +399,14 @@ def _solve_direction_3d(axis: int, rhs: State3D, temp: State3D, out_layer: State
         ok_size = fits(n_sweep, n_other)
     else:
         ok_size = False
-    if (backend in ("fused_merge", "fused_full") and plan is None and merge_ok
+    if (backend in ("fused_merge", "fused_full", "fused_bf16")
+            and plan is None and merge_ok
             and ga.cls_b[axis] is None and ok_size):
-        fused_dir = (_solve_stream_fused if backend == "fused_full"
-                     else _solve_merge_fused)
+        if backend == "fused_merge":
+            fused_dir = _solve_merge_fused
+        else:
+            fused_dir = functools.partial(
+                _solve_stream_fused, bf16=(backend == "fused_bf16"))
         out = out_layer
         for _ in range(num_local):
             temp, out = fused_dir(axis, rhs, temp, out, ga, dt, pa, exact)

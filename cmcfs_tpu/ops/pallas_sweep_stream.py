@@ -19,7 +19,15 @@ field-moves per direction iteration).  This kernel moves both inside:
 * all DMAs are streamed one variable ahead (input slabs double-buffered,
   outputs double-buffered), so on this DMA-latency-bound chip the copies
   aggregate across concurrent streams instead of serializing — the failure
-  mode that made the round-1 fused_merge variant lose.
+  mode that made the round-1 fused_merge variant lose;
+* the pipeline also crosses grid blocks (linearized (j, cidx) order): the
+  next block's shared slabs and first two variables' inputs prefetch during
+  this block's solves, and the final output DMAs drain during the next
+  block — only the first input and last output DMA of the whole invocation
+  are exposed;
+* optional bf16 payload storage (rhs/out_prev in, out/temp_new out follow
+  the rhs dtype): halves those slabs' HBM bytes; the Thomas recurrence,
+  the merge, and the temp/BC values stay f32.
 
 Per direction-iteration HBM traffic: ~11 field reads + 8 field writes,
 vs ~30 reads + 16 writes for the fused_dma + XLA-merge pipeline.
@@ -49,7 +57,7 @@ S_TILE = 8
 MAX_SWEEP = 256
 
 
-def _make_kernel(n, sweep_axis, axis_var, exact, c_blocks):
+def _make_kernel(n, sweep_axis, axis_var, exact, c_blocks, bf16=False):
     def row(ref, p):
         if sweep_axis == 0:
             return ref[p]
@@ -67,10 +75,11 @@ def _make_kernel(n, sweep_axis, axis_var, exact, c_blocks):
     # the direction's output layer in place, so unwritten slabs keep their
     # previous values and written ones are read (as out_prev) strictly
     # before they are overwritten within each block
-    def kernel(scal_ref, temp_hbm, pk_hbm, rhs_hbm, op_hbm, forc_hbm,
-               out_hbm, tn_hbm,
-               adv_v, T_v, pk_v, in_buf, out_buf, tn_buf, cp, rbuf,
-               sh_sems, in_sems, out_sems):
+    def body(scal_ref, temp_hbm, pk_hbm, rhs_hbm, op_hbm, forc_hbm,
+             out_hbm, tn_hbm,
+             adv_v, T_v, pk_v, in_buf, out_buf, tn_buf, cp, rbuf,
+             sh_sems, in_sems, out_sems,
+             in_pay=None, in_aux=None, out_bf=None, tn_bf=None, rhs_f=None):
         j = pl.program_id(0)
         cidx = pl.program_id(1)
         # cross-block software pipeline over the linearized (j, cidx) grid:
@@ -87,6 +96,25 @@ def _make_kernel(n, sweep_axis, axis_var, exact, c_blocks):
         inv3dt = scal_ref[2]
         inv2h = scal_ref[3]
         v_T = scal_ref[4]
+
+        # payload refs: in bf16 storage mode rhs/op land in bf16 buffers
+        # (rhs staged through a full-slab f32 upcast for row access) and
+        # out/temp_new leave through bf16 downcast buffers; the aux channel
+        # (temp_v / forcing) and all compute stay f32
+        def rhs_dma_ref(slot):
+            return in_pay.at[slot, 0] if bf16 else in_buf.at[slot, 0]
+
+        def op_dma_ref(slot):
+            return in_pay.at[slot, 1] if bf16 else in_buf.at[slot, 1]
+
+        def aux_dma_ref(slot):
+            return in_aux.at[slot] if bf16 else in_buf.at[slot, 2]
+
+        def out_dma_ref(slot):
+            return out_bf.at[slot] if bf16 else out_buf.at[slot]
+
+        def tn_dma_ref(slot):
+            return tn_bf.at[slot] if bf16 else tn_buf.at[slot]
 
         def slab3(ref, jj=None, cc=None):
             jj = j if jj is None else jj
@@ -108,28 +136,28 @@ def _make_kernel(n, sweep_axis, axis_var, exact, c_blocks):
 
         def start_inputs(v, slot, jj=None, cc=None):
             pltpu.make_async_copy(slab4(rhs_hbm, v, jj, cc),
-                                  in_buf.at[slot, 0],
+                                  rhs_dma_ref(slot),
                                   in_sems.at[slot, 0]).start()
             pltpu.make_async_copy(slab4(op_hbm, v, jj, cc),
-                                  in_buf.at[slot, 1],
+                                  op_dma_ref(slot),
                                   in_sems.at[slot, 1]).start()
             if v == 3:
                 pltpu.make_async_copy(slab3(forc_hbm, jj, cc),
-                                      in_buf.at[slot, 2],
+                                      aux_dma_ref(slot),
                                       in_sems.at[slot, 2]).start()
             elif v != axis_var:
                 pltpu.make_async_copy(slab4(temp_hbm, v, jj, cc),
-                                      in_buf.at[slot, 2],
+                                      aux_dma_ref(slot),
                                       in_sems.at[slot, 2]).start()
 
         def wait_inputs(v, slot):
-            pltpu.make_async_copy(slab4(rhs_hbm, v), in_buf.at[slot, 0],
+            pltpu.make_async_copy(slab4(rhs_hbm, v), rhs_dma_ref(slot),
                                   in_sems.at[slot, 0]).wait()
-            pltpu.make_async_copy(slab4(op_hbm, v), in_buf.at[slot, 1],
+            pltpu.make_async_copy(slab4(op_hbm, v), op_dma_ref(slot),
                                   in_sems.at[slot, 1]).wait()
             if v != axis_var:
                 src = slab3(forc_hbm) if v == 3 else slab4(temp_hbm, v)
-                pltpu.make_async_copy(src, in_buf.at[slot, 2],
+                pltpu.make_async_copy(src, aux_dma_ref(slot),
                                       in_sems.at[slot, 2]).wait()
 
         def start_shared(par, jj, cc):
@@ -230,7 +258,8 @@ def _make_kernel(n, sweep_axis, axis_var, exact, c_blocks):
             """d-elimination + back substitution + fused update/merge for
             one variable, using the group's precomputed (c', denom)."""
             tv_ref = (adv_b if v == axis_var
-                      else (T_b if v == 3 else in_buf.at[slot, 2]))
+                      else (T_b if v == 3 else aux_dma_ref(slot)))
+            rhs_ref = rhs_f if bf16 else in_buf.at[slot, 0]
 
             def d_body(p, d_prev):
                 cls, bcv, bct = decode(p)
@@ -238,14 +267,14 @@ def _make_kernel(n, sweep_axis, axis_var, exact, c_blocks):
                 interior = cls == INTERIOR
                 a_eff = build_a(p, cls, free, vis)
                 # in-kernel RHS (reference BuildMatrix AdiSolver3D.cpp:732-802)
-                d_int = row(in_buf.at[slot, 0], p) * inv3dt
+                d_int = row(rhs_ref, p) * inv3dt
                 if v == axis_var:
                     pp = jnp.minimum(p + 1, n - 1)
                     pm = jnp.maximum(p - 1, 0)
                     grad = (row(T_b, pp) - row(T_b, pm)) * inv2h
                     d_int = d_int - v_T * grad
                 elif v == 3:
-                    d_int = d_int + row(in_buf.at[slot, 2], p)
+                    d_int = d_int + row(aux_dma_ref(slot), p)
                 d_bc = jnp.where(free, 0.0, row(tv_ref, p))
                 d = jnp.where(interior, d_int,
                               jnp.where((cls == BC0) | (cls == BC1), d_bc, 0.0))
@@ -279,8 +308,9 @@ def _make_kernel(n, sweep_axis, axis_var, exact, c_blocks):
                 written = cls != 0.0
                 is_in = cls == INTERIOR     # caller guarantees == NODE_IN
                 t_old = tv_ref[sl]
-                out_new = jnp.where(written, tn_buf[(slot,) + sl],
-                                    in_buf[(slot, 1) + sl])
+                op_prev = (in_pay[(slot, 1) + sl].astype(jnp.float32)
+                           if bf16 else in_buf[(slot, 1) + sl])
+                out_new = jnp.where(written, tn_buf[(slot,) + sl], op_prev)
                 t_new = jnp.where(is_in, (t_old + out_new) * 0.5, t_old)
                 out_buf[(slot,) + sl] = out_new
                 tn_buf[(slot,) + sl] = t_new
@@ -289,30 +319,37 @@ def _make_kernel(n, sweep_axis, axis_var, exact, c_blocks):
         for v in range(4):
             slot = v % 2
             wait_inputs(v, slot)
+            if bf16:
+                rhs_f[...] = in_pay[slot, 0].astype(jnp.float32)
             if v >= 2:
                 # out/tn buffers for this slot were DMA-ing since var v-2
-                pltpu.make_async_copy(out_buf.at[slot], slab4(out_hbm, v - 2),
+                pltpu.make_async_copy(out_dma_ref(slot),
+                                      slab4(out_hbm, v - 2),
                                       out_sems.at[slot, 0]).wait()
-                pltpu.make_async_copy(tn_buf.at[slot], slab4(tn_hbm, v - 2),
+                pltpu.make_async_copy(tn_dma_ref(slot),
+                                      slab4(tn_hbm, v - 2),
                                       out_sems.at[slot, 1]).wait()
             else:
                 # the buffers' last out-DMAs belong to the previous block's
                 # var v+2 (same byte count — the wait only services the sem)
                 @pl.when(L > 0)
                 def _():
-                    pltpu.make_async_copy(out_buf.at[slot],
+                    pltpu.make_async_copy(out_dma_ref(slot),
                                           slab4(out_hbm, v),
                                           out_sems.at[slot, 0]).wait()
-                    pltpu.make_async_copy(tn_buf.at[slot],
+                    pltpu.make_async_copy(tn_dma_ref(slot),
                                           slab4(tn_hbm, v),
                                           out_sems.at[slot, 1]).wait()
             if v == 3:
                 coeff_pass(t_vis_h2, for_T=True)    # overwrites cp/rbuf
             solve_var(v, slot, t_vis_h2 if v == 3 else v_vis_h2)
+            if bf16:
+                out_bf[slot] = out_buf[slot].astype(jnp.bfloat16)
+                tn_bf[slot] = tn_buf[slot].astype(jnp.bfloat16)
 
-            pltpu.make_async_copy(out_buf.at[slot], slab4(out_hbm, v),
+            pltpu.make_async_copy(out_dma_ref(slot), slab4(out_hbm, v),
                                   out_sems.at[slot, 0]).start()
-            pltpu.make_async_copy(tn_buf.at[slot], slab4(tn_hbm, v),
+            pltpu.make_async_copy(tn_dma_ref(slot), slab4(tn_hbm, v),
                                   out_sems.at[slot, 1]).start()
             if v + 2 <= 3:
                 # refill this slot's inputs for var v+2 while v+1 computes
@@ -328,11 +365,32 @@ def _make_kernel(n, sweep_axis, axis_var, exact, c_blocks):
         def _():
             for v in (2, 3):
                 slot = v % 2
-                pltpu.make_async_copy(out_buf.at[slot], slab4(out_hbm, v),
+                pltpu.make_async_copy(out_dma_ref(slot), slab4(out_hbm, v),
                                       out_sems.at[slot, 0]).wait()
-                pltpu.make_async_copy(tn_buf.at[slot], slab4(tn_hbm, v),
+                pltpu.make_async_copy(tn_dma_ref(slot), slab4(tn_hbm, v),
                                       out_sems.at[slot, 1]).wait()
 
+    if bf16:
+        def kernel(scal_ref, temp_hbm, pk_hbm, rhs_hbm, op_hbm, forc_hbm,
+                   out_hbm, tn_hbm,
+                   adv_v, T_v, pk_v, in_pay, in_aux, out_buf, tn_buf,
+                   out_bf, tn_bf, rhs_f, cp, rbuf,
+                   sh_sems, in_sems, out_sems):
+            body(scal_ref, temp_hbm, pk_hbm, rhs_hbm, op_hbm, forc_hbm,
+                 out_hbm, tn_hbm,
+                 adv_v, T_v, pk_v, None, out_buf, tn_buf, cp, rbuf,
+                 sh_sems, in_sems, out_sems,
+                 in_pay=in_pay, in_aux=in_aux, out_bf=out_bf, tn_bf=tn_bf,
+                 rhs_f=rhs_f)
+    else:
+        def kernel(scal_ref, temp_hbm, pk_hbm, rhs_hbm, op_hbm, forc_hbm,
+                   out_hbm, tn_hbm,
+                   adv_v, T_v, pk_v, in_buf, out_buf, tn_buf, cp, rbuf,
+                   sh_sems, in_sems, out_sems):
+            body(scal_ref, temp_hbm, pk_hbm, rhs_hbm, op_hbm, forc_hbm,
+                 out_hbm, tn_hbm,
+                 adv_v, T_v, pk_v, in_buf, out_buf, tn_buf, cp, rbuf,
+                 sh_sems, in_sems, out_sems)
     return kernel
 
 
@@ -377,24 +435,44 @@ def fused_sweep_stream(temp4, cls, bcv, bct, rhs4, out_prev4, forcing, scal,
     n_blocks = (Bp if sweep_axis == 0 else Ap) // S_TILE
     c_blocks = Cp // LANES
 
+    # bf16 storage mode follows the rhs/out_prev payload dtype (temp4 and
+    # forcing stay f32: temp carries the exact BC values and the shared
+    # slabs; all compute is f32 regardless)
+    bf16 = rp4.dtype == jnp.bfloat16
+    f32 = jnp.float32
+    if bf16:
+        pay_scratch = [
+            pltpu.VMEM((2, 2) + slab, jnp.bfloat16),  # in_pay rhs|op
+            pltpu.VMEM((2,) + slab, f32),             # in_aux temp_v/forc
+            pltpu.VMEM((2,) + slab, f32),             # out work (f32)
+            pltpu.VMEM((2,) + slab, f32),             # temp_new work (f32)
+            pltpu.VMEM((2,) + slab, jnp.bfloat16),    # out_bf DMA buffer
+            pltpu.VMEM((2,) + slab, jnp.bfloat16),    # tn_bf DMA buffer
+            pltpu.VMEM(slab, f32),                    # rhs_f upcast stage
+        ]
+    else:
+        pay_scratch = [
+            pltpu.VMEM((2, 3) + slab, f32),           # streamed inputs
+            pltpu.VMEM((2,) + slab, f32),             # out double buffer
+            pltpu.VMEM((2,) + slab, f32),             # temp_new double buffer
+        ]
+
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     out, tn = pl.pallas_call(
-        _make_kernel(n, sweep_axis, axis_var, exact, c_blocks),
+        _make_kernel(n, sweep_axis, axis_var, exact, c_blocks, bf16),
         grid=(n_blocks, c_blocks),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [any_spec] * 5,
         out_specs=(any_spec, any_spec),
-        out_shape=(jax.ShapeDtypeStruct((4, Ap, Bp, Cp), temp4.dtype),
-                   jax.ShapeDtypeStruct((4, Ap, Bp, Cp), temp4.dtype)),
+        out_shape=(jax.ShapeDtypeStruct((4, Ap, Bp, Cp), rp4.dtype),
+                   jax.ShapeDtypeStruct((4, Ap, Bp, Cp), rp4.dtype)),
         input_output_aliases={4: 0},    # out_prev buffer IS the output layer
         scratch_shapes=[
-            pltpu.VMEM((2,) + slab, temp4.dtype),   # adv (block-parity 2x)
-            pltpu.VMEM((2,) + slab, temp4.dtype),   # T   (block-parity 2x)
-            pltpu.VMEM((2,) + slab, temp4.dtype),   # packed masks (2x)
-            pltpu.VMEM((2, 3) + slab, temp4.dtype), # streamed inputs
-            pltpu.VMEM((2,) + slab, temp4.dtype),   # out double buffer
-            pltpu.VMEM((2,) + slab, temp4.dtype),   # temp_new double buffer
-            pltpu.VMEM(slab, temp4.dtype),          # c' line
-            pltpu.VMEM(slab, temp4.dtype),          # denom / 1/denom line
+            pltpu.VMEM((2,) + slab, f32),           # adv (block-parity 2x)
+            pltpu.VMEM((2,) + slab, f32),           # T   (block-parity 2x)
+            pltpu.VMEM((2,) + slab, f32),           # packed masks (2x)
+        ] + pay_scratch + [
+            pltpu.VMEM(slab, f32),                  # c' line
+            pltpu.VMEM(slab, f32),                  # denom / 1/denom line
             pltpu.SemaphoreType.DMA((2, 3)),        # sh_sems [parity, a|T|p]
             pltpu.SemaphoreType.DMA((2, 3)),        # in_sems
             pltpu.SemaphoreType.DMA((2, 2)),        # out_sems

@@ -51,3 +51,23 @@ def test_bf16_storage_close_to_f32():
         np.testing.assert_allclose(np.asarray(o), np.asarray(r), atol=0.02)
     assert np.isfinite(float(e1))
     assert abs(float(e0) - float(e1)) < 0.01
+
+
+def test_bf16_stream_path_close_to_f32():
+    """fused_bf16 prefers the streamed full-fusion kernel when the merge
+    guarantees hold (bf16 rhs/out payloads, f32 compute, f32 temp/BCs) —
+    must stay within bf16 resolution of the exact solve."""
+    adi3d, ga, cur, pa, merge_ok = _setup()
+    if not any(merge_ok):
+        pytest.skip("fixture has no merge-foldable axis")
+    dt = jnp.float32(0.01)
+    ref, e0 = adi3d.adi_timestep_3d(cur, cur, ga, dt, 2, 2, pa,
+                                    backend="scan", exact=True,
+                                    compute_error=True)
+    out, e1 = adi3d.adi_timestep_3d(cur, cur, ga, dt, 2, 2, pa,
+                                    backend="fused_bf16", exact=True,
+                                    compute_error=True, merge_ok=merge_ok)
+    for r, o in zip(ref, out):
+        np.testing.assert_allclose(np.asarray(o), np.asarray(r), atol=0.02)
+    assert np.isfinite(float(e1))
+    assert abs(float(e0) - float(e1)) < 0.01
