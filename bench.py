@@ -132,12 +132,17 @@ def main():
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--dx", type=float, default=0.00409)
     ap.add_argument("--backend", default="fused_full")
-    ap.add_argument("--case", default="3d", choices=["3d", "2d1024"])
+    ap.add_argument("--case", default="3d", choices=["3d", "3d384", "2d1024"])
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args()
 
     if args.case == "2d1024":
         res = run_bench_2d(backend=args.backend)
+    elif args.case == "3d384":
+        # ~384^3: above the VMEM line cap — exercises the chunked
+        # long-line kernel path (ops/pallas_sweep_long.py)
+        res = run_bench(size_dx=0.0027267, steps=min(args.steps, 5),
+                        backend=args.backend)
     else:
         res = run_bench(size_dx=args.dx, steps=args.steps, backend=args.backend)
 
