@@ -340,11 +340,18 @@ def _solve_merge_fused(axis: int, rhs: State3D, temp: State3D, out: State3D,
 
 def _solve_stream_fused(axis: int, rhs: State3D, temp: State3D, out: State3D,
                         ga: GridArrays3D, dt, pa: ParamsArgs3D, exact: bool,
-                        bf16: bool = False):
+                        bf16: bool = False, plan=None):
     """Streamed full-fusion path: in-kernel RHS build + solve + UpdateSegment
     + merge (ops/pallas_sweep_stream.py).  Same caller guarantees as
     _solve_merge_fused.  ``bf16``: rhs/out payloads stored bf16 in HBM
-    (f32 compute; temp stays f32 so BC values remain exact)."""
+    (f32 compute; temp stays f32 so BC values remain exact).
+
+    ``plan``: for the Y/Z directions the sharded grid-X axis is a pure
+    batch dimension of the kernel AND of the in-kernel merge (NODE_IN is a
+    local mask), so the whole fused direction-iteration runs per shard
+    under shard_map with zero communication — the stencil forcing above it
+    gets its halos from GSPMD.  The X direction must reshard (lines span
+    shards) and is excluded by the caller."""
     from ..ops.pallas_sweep_stream import fused_sweep_stream
     h = (pa.dx, pa.dy, pa.dz)[axis]
     if axis == 0:
@@ -365,19 +372,37 @@ def _solve_stream_fused(axis: int, rhs: State3D, temp: State3D, out: State3D,
         rhs4 = rhs4.astype(jnp.bfloat16)
         op4 = op4.astype(jnp.bfloat16)
     cls = ga.cls_a[axis]
+
+    def call_kernel(t4, c3, bv3, bt3, r4, o4_, f3, sweep_axis):
+        kw = dict(sweep_axis=sweep_axis, axis_var=axis, exact=exact)
+        if plan is None:
+            return fused_sweep_stream(t4, c3, bv3, bt3, r4, o4_, f3, scal,
+                                      **kw)
+        from jax.sharding import PartitionSpec as P
+        ax = plan.axis
+        spec3 = P(ax, None, None)
+        spec4 = P(None, ax, None, None)
+
+        @functools.partial(jax.shard_map, mesh=plan.mesh,
+                           in_specs=(spec4, spec3, spec3, spec3, spec4,
+                                     spec4, spec3, P(None)),
+                           out_specs=(spec4, spec4), check_vma=False)
+        def run(t4_, c3_, bv3_, bt3_, r4_, o4__, f3_, scal_):
+            return fused_sweep_stream(t4_, c3_, bv3_, bt3_, r4_, o4__, f3_,
+                                      scal_, **kw)
+
+        return run(t4, c3, bv3, bt3, r4, o4_, f3, scal)
+
     if axis == 2:
         sw = lambda t: jnp.swapaxes(t, 1, 2)
         sw4 = lambda t: jnp.swapaxes(t, 2, 3)
-        o4, t4 = fused_sweep_stream(sw4(temp4), sw(cls), sw(ga.bc_vel),
-                                    sw(ga.bc_temp), sw4(rhs4), sw4(op4),
-                                    sw(forcing), scal,
-                                    sweep_axis=1, axis_var=2, exact=exact)
+        o4, t4 = call_kernel(sw4(temp4), sw(cls), sw(ga.bc_vel),
+                             sw(ga.bc_temp), sw4(rhs4), sw4(op4),
+                             sw(forcing), sweep_axis=1)
         o4, t4 = sw4(o4), sw4(t4)
     else:
-        o4, t4 = fused_sweep_stream(temp4, cls, ga.bc_vel, ga.bc_temp,
-                                    rhs4, op4, forcing, scal,
-                                    sweep_axis=axis, axis_var=axis,
-                                    exact=exact)
+        o4, t4 = call_kernel(temp4, cls, ga.bc_vel, ga.bc_temp,
+                             rhs4, op4, forcing, sweep_axis=axis)
     if bf16:
         o4 = o4.astype(jnp.float32)
         t4 = t4.astype(jnp.float32)
@@ -400,13 +425,18 @@ def _solve_direction_3d(axis: int, rhs: State3D, temp: State3D, out_layer: State
     else:
         ok_size = False
     if (backend in ("fused_merge", "fused_full", "fused_bf16")
-            and plan is None and merge_ok
-            and ga.cls_b[axis] is None and ok_size):
+            and merge_ok and ga.cls_b[axis] is None and ok_size
+            and (plan is None
+                 or (axis != 0 and backend != "fused_merge"))):
+        # under a mesh the Y/Z stream kernels run per shard (shard_map in
+        # _solve_stream_fused); the X direction and fused_merge fall through
+        # to the resharding fused_dma path below
         if backend == "fused_merge":
             fused_dir = _solve_merge_fused
         else:
             fused_dir = functools.partial(
-                _solve_stream_fused, bf16=(backend == "fused_bf16"))
+                _solve_stream_fused, bf16=(backend == "fused_bf16"),
+                plan=plan)
         out = out_layer
         for _ in range(num_local):
             temp, out = fused_dir(axis, rhs, temp, out, ga, dt, pa, exact)
@@ -444,17 +474,19 @@ def adi_timestep_3d(cur: State3D, nxt_prev: State3D, ga: GridArrays3D, dt,
     are re-seeded from cur before the sweeps).
     """
     if plan is not None:
-        # Sharded runs use the fused kernels via shard_map (_sharded_fused),
-        # including the manual-DMA hot path (the reference runs its fused
-        # CUDA kernels inside the multi-GPU configuration likewise,
-        # AdiSolver3D.cu:524-640).  The full-fusion merge backends fall back
-        # to the DMA sweep (their in-kernel merge is single-chip only); the
-        # two-pass "pallas" backend would run on GSPMD-sharded row arrays
-        # without a shard_map -> scan.
+        # Sharded runs use the fused kernels via shard_map (the reference
+        # runs its fused CUDA kernels inside the multi-GPU configuration
+        # likewise, AdiSolver3D.cu:524-640): the full-fusion stream kernel
+        # per shard for the Y/Z directions (_solve_stream_fused), the
+        # manual-DMA sweep with an all_to_all reshard for X
+        # (_sharded_fused).  fused_merge's own in-kernel merge variant is
+        # single-chip only -> fused_dma; the two-pass "pallas" backend
+        # would run on GSPMD-sharded row arrays without a shard_map -> scan.
         if backend == "auto":
-            backend = ("fused_dma" if jax.default_backend() == "tpu"
+            backend = ("fused_full" if jax.default_backend() == "tpu"
                        else "fused")
-        elif backend in ("fused_merge", "fused_full"):
+        elif backend == "fused_merge":
+            # its in-kernel merge variant is single-chip only
             backend = "fused_dma"
         elif backend == "pallas":
             backend = "scan"
