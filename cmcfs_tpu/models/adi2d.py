@@ -116,13 +116,14 @@ def _build_and_solve(axis: int, cur: State2D, temp_local: State2D,
                     n_sweep, bp // 128, 128) for m in arrs]
         a3, c3, b3 = arrs[0], arrs[1], arrs[2]
         d3 = jnp.stack(arrs[3:])
+        if backend == "fused_bf16":
+            # bf16 d/x payload; both kernels keep the Thomas solve f32
+            d3 = d3.astype(jnp.bfloat16)
         if n_sweep > 288:
-            # chunked long-line kernel (f32-only staging)
+            # chunked long-line kernel (f32 carry staging)
             x3 = fused_sweep_long(a3, c3, b3, b3, d3, scal, sweep_axis=0,
                                   exact=exact, t_var=2, bc2d=True)
         else:
-            if backend == "fused_bf16":
-                d3 = d3.astype(jnp.bfloat16)
             x3 = fused_sweep_dma(a3, c3, b3, b3, d3, scal, sweep_axis=0,
                                  exact=exact, s_tile=min(8, bp // 128),
                                  t_var=2, bc2d=True)

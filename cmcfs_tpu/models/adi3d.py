@@ -158,9 +158,10 @@ def _build_and_solve_3d(axis: int, rhs: State3D, temp: State3D, ga: GridArrays3D
         """One fused build+solve kernel for all 4 vars (ops/pallas_sweep.py
         or the manual-DMA variant in ops/pallas_sweep_dma.py); under a mesh
         the same kernel runs per shard via shard_map."""
-        use_bf16 = False
+        use_bf16 = backend == "fused_bf16"
         if plan is None and n_sweep > 288:
             # beyond the VMEM cap: chunked sweep with HBM (c',d') staging
+            # (bf16 d/x payload honored; carries stay f32)
             from ..ops.pallas_sweep_long import fused_sweep_long as fused_sweep
         elif backend in ("fused_dma", "fused_merge", "fused_full",
                          "fused_bf16"):
@@ -168,7 +169,6 @@ def _build_and_solve_3d(axis: int, rhs: State3D, temp: State3D, ga: GridArrays3D
             # bf16 storage mode: kernel HBM traffic halves; the Thomas
             # recurrence still runs in f32 inside the kernel (a TPU-native
             # speed/accuracy trade with no reference counterpart)
-            use_bf16 = backend == "fused_bf16"
         else:
             from ..ops.pallas_sweep import fused_sweep
         ds = build_d_folded(cls)

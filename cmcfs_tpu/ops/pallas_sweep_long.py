@@ -45,7 +45,7 @@ def _pick_chunk(n: int, cp: int) -> int:
 
 
 def _make_kernel(n, n_chunks, ch, sweep_axis, exact, nvars=4, t_var=3,
-                 bc2d=False):
+                 bc2d=False, bf16=False):
     def row(ref, p):
         if sweep_axis == 0:
             return ref[p]
@@ -57,10 +57,10 @@ def _make_kernel(n, n_chunks, ch, sweep_axis, exact, nvars=4, t_var=3,
         else:
             ref[:, p, :] = val
 
-    def kernel(scal_ref, adv_hbm, pk_hbm, d_hbm,
-               x_hbm, cp_hbm, dp_hbm,
-               adv_c, pk_c, d_c, cp_c, dp_c, x_c,
-               in_sems, st_sems, x_sems):
+    def body(scal_ref, adv_hbm, pk_hbm, d_hbm,
+             x_hbm, cp_hbm, dp_hbm,
+             adv_c, pk_c, d_c, cp_c, dp_c, x_c,
+             in_sems, st_sems, x_sems, d_f=None, x_bf=None):
         j = pl.program_id(0)
         v_vis_h2 = scal_ref[0]
         t_vis_h2 = scal_ref[1]
@@ -120,7 +120,9 @@ def _make_kernel(n, n_chunks, ch, sweep_axis, exact, nvars=4, t_var=3,
                                             jnp.where(free, -1.0, 0.0), 0.0))
                 a_eff = jnp.where(p_global == 0, 0.0, a)
                 c_eff = jnp.where(p_global == n - 1, 0.0, c)
-                return a_eff, b, c_eff, row(d_c.at[kp], p_local)
+                # bf16 payload: d rows read from the full-chunk f32 upcast
+                d_ref = d_f if bf16 else d_c.at[kp]
+                return a_eff, b, c_eff, row(d_ref, p_local)
 
             def start_fwd_in(k):
                 kp = k % 2
@@ -153,6 +155,8 @@ def _make_kernel(n, n_chunks, ch, sweep_axis, exact, nvars=4, t_var=3,
                 if k + 1 < n_chunks:
                     start_fwd_in(k + 1)
                 wait_fwd_in(k)
+                if bf16:
+                    d_f[...] = d_c[kp].astype(jnp.float32)
                 if k >= 2:
                     # staging buffer reuse: the out-DMA from k-2 read it
                     # (the last chunk also writes cp/dp, so it waits too)
@@ -229,7 +233,7 @@ def _make_kernel(n, n_chunks, ch, sweep_axis, exact, nvars=4, t_var=3,
                     wait_bwd_in(k)
                 if kq >= 2:
                     # x buffer reuse: the out-DMA from kq-2 used it
-                    pltpu.make_async_copy(x_c.at[kp],
+                    pltpu.make_async_copy(x_bf.at[kp] if bf16 else x_c.at[kp],
                                           chunk4(x_hbm, v, k + 2),
                                           x_sems.at[kp]).wait()
 
@@ -246,13 +250,31 @@ def _make_kernel(n, n_chunks, ch, sweep_axis, exact, nvars=4, t_var=3,
                     return x_next
 
                 x_next = jax.lax.fori_loop(0, ch // 8, bwd_chunk, x_next)
-                pltpu.make_async_copy(x_c.at[kp], chunk4(x_hbm, v, k),
+                if bf16:
+                    x_bf[kp] = x_c[kp].astype(jnp.bfloat16)
+                pltpu.make_async_copy(x_bf.at[kp] if bf16 else x_c.at[kp],
+                                      chunk4(x_hbm, v, k),
                                       x_sems.at[kp]).start()
 
             for k in range(min(2, n_chunks)):
-                pltpu.make_async_copy(x_c.at[k % 2], chunk4(x_hbm, v, k),
+                pltpu.make_async_copy(x_bf.at[k % 2] if bf16 else x_c.at[k % 2],
+                                      chunk4(x_hbm, v, k),
                                       x_sems.at[k % 2]).wait()
 
+    if bf16:
+        def kernel(scal_ref, adv_hbm, pk_hbm, d_hbm, x_hbm, cp_hbm, dp_hbm,
+                   adv_c, pk_c, d_c, cp_c, dp_c, x_c, d_f, x_bf,
+                   in_sems, st_sems, x_sems):
+            body(scal_ref, adv_hbm, pk_hbm, d_hbm, x_hbm, cp_hbm, dp_hbm,
+                 adv_c, pk_c, d_c, cp_c, dp_c, x_c,
+                 in_sems, st_sems, x_sems, d_f=d_f, x_bf=x_bf)
+    else:
+        def kernel(scal_ref, adv_hbm, pk_hbm, d_hbm, x_hbm, cp_hbm, dp_hbm,
+                   adv_c, pk_c, d_c, cp_c, dp_c, x_c,
+                   in_sems, st_sems, x_sems):
+            body(scal_ref, adv_hbm, pk_hbm, d_hbm, x_hbm, cp_hbm, dp_hbm,
+                 adv_c, pk_c, d_c, cp_c, dp_c, x_c,
+                 in_sems, st_sems, x_sems)
     return kernel
 
 
@@ -297,24 +319,35 @@ def fused_sweep_long(adv, cls, bcv, bct, d4, scal, sweep_axis: int,
     slab = (ch, S_TILE, Cp) if sweep_axis == 0 else (S_TILE, ch, Cp)
     n_blocks = (Bp if sweep_axis == 0 else Ap) // S_TILE
 
+    # bf16 payload storage follows the d4 dtype (d in / x out); the adv and
+    # packed-mask chunks, the Thomas recurrence, and the (c', d') carry
+    # staging all stay f32
+    bf16 = d4.dtype == jnp.bfloat16
+    f32 = jnp.float32
+    pay_scratch = [pltpu.VMEM((2,) + slab, d4.dtype),   # d chunks
+                   pltpu.VMEM((2,) + slab, f32),        # c' chunks
+                   pltpu.VMEM((2,) + slab, f32),        # d' chunks
+                   pltpu.VMEM((2,) + slab, f32)]        # x work chunks
+    if bf16:
+        pay_scratch += [pltpu.VMEM(slab, f32),          # d_f upcast stage
+                        pltpu.VMEM((2,) + slab, d4.dtype)]  # x_bf DMA bufs
+
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     x, _, _ = pl.pallas_call(
-        _make_kernel(n, n_chunks, ch, sweep_axis, exact, nvars, t_var, bc2d),
+        _make_kernel(n, n_chunks, ch, sweep_axis, exact, nvars, t_var, bc2d,
+                     bf16),
         grid=(n_blocks,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   any_spec, any_spec, any_spec],
         out_specs=(any_spec, any_spec, any_spec),
-        out_shape=(jax.ShapeDtypeStruct((nvars, Ap, Bp, Cp), adv.dtype),
+        out_shape=(jax.ShapeDtypeStruct((nvars, Ap, Bp, Cp), d4.dtype),
                    # (c', d') HBM staging, reused across the 4 variables
-                   jax.ShapeDtypeStruct((Ap, Bp, Cp), adv.dtype),
-                   jax.ShapeDtypeStruct((Ap, Bp, Cp), adv.dtype)),
+                   jax.ShapeDtypeStruct((Ap, Bp, Cp), f32),
+                   jax.ShapeDtypeStruct((Ap, Bp, Cp), f32)),
         scratch_shapes=[
-            pltpu.VMEM((2,) + slab, adv.dtype),   # adv chunks (pipelined)
-            pltpu.VMEM((2,) + slab, adv.dtype),   # packed-mask chunks
-            pltpu.VMEM((2,) + slab, adv.dtype),   # d chunks
-            pltpu.VMEM((2,) + slab, adv.dtype),   # c' chunks
-            pltpu.VMEM((2,) + slab, adv.dtype),   # d' chunks
-            pltpu.VMEM((2,) + slab, adv.dtype),   # x chunks
+            pltpu.VMEM((2,) + slab, f32),         # adv chunks (pipelined)
+            pltpu.VMEM((2,) + slab, f32),         # packed-mask chunks
+        ] + pay_scratch + [
             pltpu.SemaphoreType.DMA((2, 3)),      # in_sems [parity, a|p|d]
             pltpu.SemaphoreType.DMA((2, 2)),      # st_sems [parity, c'|d']
             pltpu.SemaphoreType.DMA((2,)),        # x_sems [parity]
