@@ -159,9 +159,12 @@ def _build_and_solve_3d(axis: int, rhs: State3D, temp: State3D, ga: GridArrays3D
         or the manual-DMA variant in ops/pallas_sweep_dma.py); under a mesh
         the same kernel runs per shard via shard_map."""
         use_bf16 = backend == "fused_bf16"
-        if plan is None and n_sweep > 288:
+        if n_sweep > 288:
             # beyond the VMEM cap: chunked sweep with HBM (c',d') staging
-            # (bf16 d/x payload honored; carries stay f32)
+            # (bf16 d/x payload honored; carries stay f32).  Under a mesh it
+            # runs per shard through the same shard_map wrapper — Y/Z shards
+            # solve their own full-length lines, the X sweep reshards first
+            # (so 512^3-class grids keep the fused path on 2+ chips)
             from ..ops.pallas_sweep_long import fused_sweep_long as fused_sweep
         elif backend in ("fused_dma", "fused_merge", "fused_full",
                          "fused_bf16"):
@@ -265,14 +268,13 @@ def _build_and_solve_3d(axis: int, rhs: State3D, temp: State3D, ga: GridArrays3D
         return x
 
     # the fused kernels keep whole lines VMEM-resident up to ~288 cells;
-    # beyond that the chunked long-line kernel takes over (single chip);
-    # sharded fused runs stay under the shard_map wrapper's cap
+    # beyond that the chunked long-line kernel takes over — single-chip
+    # and per shard under the shard_map wrapper alike
     n_sweep = rhs.u.shape[axis]
     wavefront_x = (axis == 0 and plan is not None
                    and getattr(plan, "nblockz", 0) > 1)
     solver = (solve_fused if (backend in ("fused", "fused_dma", "fused_merge",
                                           "fused_full", "fused_bf16")
-                              and (plan is None or n_sweep <= 288)
                               and not wavefront_x)
               else solve_with_cls)
     x = solver(ga.cls_a[axis])

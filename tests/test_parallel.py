@@ -300,3 +300,33 @@ def test_sharded_stream_fused_matches_unsharded():
     for c, s in zip(sc, sh):
         np.testing.assert_allclose(np.asarray(s), np.asarray(c),
                                    rtol=2e-5, atol=1e-6)
+
+
+def test_sharded_long_line_fused_matches_scan():
+    """Sweeps beyond the VMEM line cap (>288) keep the fused path under a
+    mesh: the chunked long-line kernel runs per shard (Y/Z) and after the
+    all_to_all reshard (X) — the 512^3-class 2+-chip regime's hot path."""
+    import __graft_entry__ as g
+    from cmcfs_tpu.models import adi3d
+    from cmcfs_tpu.parallel.mesh import make_x_mesh
+
+    _, ga, cur, pa = g._setup(320, 16, 16, "scan")
+    dt = jnp.float32(0.01)
+    plan = make_x_mesh(8)
+    cur_s = plan.shard_state(cur)
+    ga_s = plan.shard_grid(ga)
+    sh, _ = adi3d.adi_timestep_3d(cur_s, cur_s, ga_s, dt, 1, 1, pa,
+                                  backend="fused_dma", compute_error=False,
+                                  plan=plan)
+    sc, _ = adi3d.adi_timestep_3d(cur_s, cur_s, ga_s, dt, 1, 1, pa,
+                                  backend="scan", compute_error=False,
+                                  plan=plan)
+    un, _ = adi3d.adi_timestep_3d(cur, cur, ga, dt, 1, 1, pa,
+                                  backend="fused_dma", compute_error=False)
+    for a, b in zip(sh, sc):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=1e-6)
+    for a, b in zip(sh, un):
+        # per-shard padding regroups interpret-mode FMAs: ~1 ulp
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=5e-7)
