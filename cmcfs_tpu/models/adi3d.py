@@ -419,7 +419,8 @@ def _solve_direction_3d(axis: int, rhs: State3D, temp: State3D, out_layer: State
     """Reference SolveDirection (AdiSolver3D.cpp:564-666), CPU semantics."""
     n_sweep = rhs.u.shape[axis]
     if backend in ("fused_full", "fused_bf16"):
-        ok_size = n_sweep <= 256
+        from ..ops.pallas_sweep_stream import MAX_SWEEP
+        ok_size = n_sweep <= MAX_SWEEP
     elif backend == "fused_merge":
         from ..ops.pallas_sweep_dma2 import fits
         n_other = rhs.u.shape[1] if axis == 2 else rhs.u.shape[2]

@@ -255,11 +255,23 @@ def _pick_s_tile() -> int:
     return int(os.environ.get("CMCFS_S_TILE", "0")) or S_TILE
 
 
-@functools.partial(jax.jit, static_argnames=("sweep_axis", "exact", "s_tile",
-                                             "t_var", "bc2d"))
 def fused_sweep_dma(adv, cls, bcv, bct, d4, scal, sweep_axis: int,
                     exact: bool = True, s_tile: int | None = None,
                     t_var: int | None = None, bc2d: bool = False):
+    # resolve the env-tunable default OUTSIDE the jit boundary so changing
+    # CMCFS_S_TILE between calls is not swallowed by the trace cache
+    if s_tile is None:
+        s_tile = _pick_s_tile()
+    return _fused_sweep_dma(adv, cls, bcv, bct, d4, scal,
+                            sweep_axis=sweep_axis, exact=exact,
+                            s_tile=s_tile, t_var=t_var, bc2d=bc2d)
+
+
+@functools.partial(jax.jit, static_argnames=("sweep_axis", "exact", "s_tile",
+                                             "t_var", "bc2d"))
+def _fused_sweep_dma(adv, cls, bcv, bct, d4, scal, sweep_axis: int,
+                     exact: bool = True, s_tile: int = S_TILE,
+                     t_var: int | None = None, bc2d: bool = False):
     """Drop-in equivalent of pallas_sweep.fused_sweep with manual slab DMA.
 
     ``s_tile``: slab thickness along the batch (grid) dimension — bigger
@@ -274,8 +286,6 @@ def fused_sweep_dma(adv, cls, bcv, bct, d4, scal, sweep_axis: int,
     if t_var is None:
         t_var = nvars - 1
     A, B, C = adv.shape
-    if s_tile is None:
-        s_tile = _pick_s_tile()
     # pad every dim: padded cells are identity rows (cls 0, d 0) which pass
     # the Thomas carries through unchanged, so padding the sweep length is
     # safe (the real last row's c is already 0 by construction)
@@ -317,6 +327,12 @@ def fused_sweep_dma(adv, cls, bcv, bct, d4, scal, sweep_axis: int,
         pltpu.SemaphoreType.DMA((2,)),      # out_sems
         pltpu.SemaphoreType.DMA((2, 2)),    # sh_sems [parity, adv|pk]
     ]
+    import math
+    slab_elems = math.prod(slab_shape)
+    # adv(2x) + pk(2x) + cp + dp f32; d + x double-buffered at payload
+    # dtype; bf16 adds the df/xf f32 work slabs
+    scratch_bytes = slab_elems * (6 * 4 + 4 * d4.dtype.itemsize
+                                  + (8 if bf16 else 0))
 
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     x = pl.pallas_call(
@@ -331,8 +347,9 @@ def fused_sweep_dma(adv, cls, bcv, bct, d4, scal, sweep_axis: int,
         # (v5e has 128MB physical); grant what the scratch actually needs
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
-            vmem_limit_bytes=min(100 * 1024 * 1024,
-                                 max(32, 4 * s_tile) * 1024 * 1024)),
+            vmem_limit_bytes=min(110 * 1024 * 1024,
+                                 max(32 * 1024 * 1024,
+                                     int(scratch_bytes * 1.4)))),
         interpret=(jax.default_backend() != "tpu"),
     )(scal, advp, pkp, d4p)
 

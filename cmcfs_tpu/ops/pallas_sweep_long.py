@@ -144,9 +144,10 @@ def _make_kernel(n, n_chunks, ch, sweep_axis, exact, nvars=4, t_var=3,
 
             # ------------------------------- forward chunks (pipelined DMA)
             # chunk k+1's inputs stream in while k eliminates; (c', d') rows
-            # stage out to HBM double-buffered — EXCEPT the last chunk's,
-            # which stay resident in VMEM for the backward pass to consume
-            # directly (for n_chunks == 1 nothing is staged at all)
+            # stage out to HBM double-buffered — EXCEPT the last TWO
+            # chunks', which occupy the two buffer parities when the
+            # forward pass ends and stay resident for the backward pass
+            # (n_chunks <= 2 therefore stages nothing at all)
             zero = jnp.zeros_like(row(adv_c.at[0], 0))
             carry = (zero, zero)
             start_fwd_in(0)
@@ -187,16 +188,11 @@ def _make_kernel(n, n_chunks, ch, sweep_axis, exact, nvars=4, t_var=3,
                     return carry
 
                 carry = jax.lax.fori_loop(0, ch // 8, fwd_chunk, carry)
-                if k < n_chunks - 1:
+                if k < n_chunks - 2:
                     pltpu.make_async_copy(cp_c.at[kp], chunk3(cp_hbm, k),
                                           st_sems.at[kp, 0]).start()
                     pltpu.make_async_copy(dp_c.at[kp], chunk3(dp_hbm, k),
                                           st_sems.at[kp, 1]).start()
-
-            # the backward pass starts at chunk n_chunks-1, whose (c', d')
-            # are already resident in parity (n_chunks-1)%2; its first DMA
-            # need is chunk n_chunks-2's staged rows
-            last_kp = (n_chunks - 1) % 2
 
             def start_bwd_in(k):
                 kp = k % 2
@@ -212,24 +208,16 @@ def _make_kernel(n, n_chunks, ch, sweep_axis, exact, nvars=4, t_var=3,
                 pltpu.make_async_copy(chunk3(dp_hbm, k), dp_c.at[kp],
                                       in_sems.at[kp, 1]).wait()
 
-            if n_chunks >= 2:
-                # chunk n-2's staging must have landed before re-reading it
-                # (every earlier chunk's was waited inside the forward loop)
-                k2 = n_chunks - 2
-                pltpu.make_async_copy(cp_c.at[k2 % 2], chunk3(cp_hbm, k2),
-                                      st_sems.at[k2 % 2, 0]).wait()
-                pltpu.make_async_copy(dp_c.at[k2 % 2], chunk3(dp_hbm, k2),
-                                      st_sems.at[k2 % 2, 1]).wait()
-                start_bwd_in(k2)
-
             # -------------------------------- backward chunks (pipelined)
+            # chunks n-1 and n-2 are consumed from the resident buffers;
+            # earlier chunks re-stream from the HBM staging, prefetched two
+            # iterations ahead (chunk k-2's DMA starts after k's solve — its
+            # target parity (k-2)%2 == k%2 was just freed by that solve)
             x_next = zero
             for kq in range(n_chunks):
                 k = n_chunks - 1 - kq
                 kp = k % 2
-                if k - 1 >= 0 and kq > 0:
-                    start_bwd_in(k - 1)
-                if kq > 0:
+                if k <= n_chunks - 3:
                     wait_bwd_in(k)
                 if kq >= 2:
                     # x buffer reuse: the out-DMA from kq-2 used it
@@ -255,6 +243,8 @@ def _make_kernel(n, n_chunks, ch, sweep_axis, exact, nvars=4, t_var=3,
                 pltpu.make_async_copy(x_bf.at[kp] if bf16 else x_c.at[kp],
                                       chunk4(x_hbm, v, k),
                                       x_sems.at[kp]).start()
+                if 0 <= k - 2 <= n_chunks - 3:
+                    start_bwd_in(k - 2)
 
             for k in range(min(2, n_chunks)):
                 pltpu.make_async_copy(x_bf.at[k % 2] if bf16 else x_c.at[k % 2],
@@ -299,7 +289,9 @@ def fused_sweep_long(adv, cls, bcv, bct, d4, scal, sweep_axis: int,
     Ap = _ceil_to(A, S_TILE)
     Bp = _ceil_to(B, S_TILE)
     n0 = (Ap, Bp)[sweep_axis]
-    ch = chunk if chunk is not None else _pick_chunk(n0, Cp)
+    # the row loops advance in 8-row groups; a non-multiple chunk would
+    # silently skip rows, so round a caller-supplied chunk up
+    ch = _ceil_to(chunk, 8) if chunk is not None else _pick_chunk(n0, Cp)
     n = _ceil_to(n0, ch)
     if sweep_axis == 0:
         Ap = n

@@ -53,7 +53,8 @@ from .masks import BC0, BC1, INTERIOR
 
 LANES = 128
 S_TILE = 8
-# 15 slabs of 8*n*128*4 bytes + merge temporaries must fit in 16 MB VMEM
+# slab set + merge temporaries must fit the scoped-VMEM grant; enforced by
+# callers via this constant (models/adi3d.py ok_size) and asserted below
 MAX_SWEEP = 256
 
 
@@ -416,6 +417,7 @@ def fused_sweep_stream(temp4, cls, bcv, bct, rhs4, out_prev4, forcing, scal,
     Ap = _ceil_to(A, S_TILE)
     Bp = _ceil_to(B, S_TILE)
     n = (Ap, Bp)[sweep_axis]
+    assert n <= MAX_SWEEP, (n, MAX_SWEEP)
 
     def pad3(x):
         return jnp.pad(x, ((0, Ap - A), (0, Bp - B), (0, Cp - C)))
