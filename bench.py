@@ -141,7 +141,12 @@ def main():
     elif args.case == "3d384":
         # ~384^3: above the VMEM line cap — exercises the chunked
         # long-line kernel path (ops/pallas_sweep_long.py)
-        res = run_bench(size_dx=0.0027267, steps=min(args.steps, 5),
+        steps = min(args.steps, 5)
+        if steps != args.steps:
+            import sys
+            print(f"note: 3d384 clamps --steps {args.steps} -> {steps} "
+                  f"(~1 s/step on this chip)", file=sys.stderr)
+        res = run_bench(size_dx=0.0027267, steps=steps,
                         backend=args.backend)
     else:
         res = run_bench(size_dx=args.dx, steps=args.steps, backend=args.backend)

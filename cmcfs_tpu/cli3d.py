@@ -30,6 +30,22 @@ from .utils.profiler import Profiler
 from .utils.timer import CpuTimer, print_time_step_info
 
 
+BF16_STEP_WARN_THRESHOLD = 200
+
+
+def bf16_horizon_warning(backend: str, total_steps: int) -> str | None:
+    """Guardrail for the non-parity bf16 storage mode: returns a warning for
+    trajectories long enough for the per-step rounding to accumulate
+    (measured ~19% of max|u| by step 100 on a developing flow — RESULTS.md
+    precision-sensitivity study), else None."""
+    if backend != "fused_bf16" or total_steps <= BF16_STEP_WARN_THRESHOLD:
+        return None
+    return (f"WARNING: backend fused_bf16 over {total_steps} steps: bf16 "
+            f"storage drift accumulates (~19% of max|u| by step 100 on a "
+            f"developing flow, RESULTS.md); this mode is for bounded-horizon/"
+            f"visualization runs — use fused_full for long trajectories")
+
+
 def _is_main_process() -> bool:
     import jax
     return jax.process_index() == 0
@@ -100,6 +116,13 @@ def run_case(input_path: str, output_base: str, config_path: str,
     length = grid.cycle_len
     dt = length / (frames * cfg.time_steps)
     finaltime = length * cfg.cycles
+
+    total_steps = int(round(finaltime / dt))
+    if max_steps is not None:
+        total_steps = min(total_steps, max_steps)
+    warn = bf16_horizon_warning(backend, total_steps)
+    if warn and _is_main_process():
+        print(warn, file=sys.stderr)
 
     import os
     depths = getattr(grid, "bathy", None)

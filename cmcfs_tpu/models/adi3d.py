@@ -166,8 +166,7 @@ def _build_and_solve_3d(axis: int, rhs: State3D, temp: State3D, ga: GridArrays3D
             # solve their own full-length lines, the X sweep reshards first
             # (so 512^3-class grids keep the fused path on 2+ chips)
             from ..ops.pallas_sweep_long import fused_sweep_long as fused_sweep
-        elif backend in ("fused_dma", "fused_merge", "fused_full",
-                         "fused_bf16"):
+        elif backend in ("fused_dma", "fused_full", "fused_bf16"):
             from ..ops.pallas_sweep_dma import fused_sweep_dma as fused_sweep
             # bf16 storage mode: kernel HBM traffic halves; the Thomas
             # recurrence still runs in f32 inside the kernel (a TPU-native
@@ -273,7 +272,7 @@ def _build_and_solve_3d(axis: int, rhs: State3D, temp: State3D, ga: GridArrays3D
     n_sweep = rhs.u.shape[axis]
     wavefront_x = (axis == 0 and plan is not None
                    and getattr(plan, "nblockz", 0) > 1)
-    solver = (solve_fused if (backend in ("fused", "fused_dma", "fused_merge",
+    solver = (solve_fused if (backend in ("fused", "fused_dma",
                                           "fused_full", "fused_bf16")
                               and not wavefront_x)
               else solve_with_cls)
@@ -282,62 +281,6 @@ def _build_and_solve_3d(axis: int, rhs: State3D, temp: State3D, ga: GridArrays3D
         x_b = solver(ga.cls_b[axis])
         x = jnp.where(ga.take_b[axis][None], x_b, x)
     return State3D(u=x[0], v=x[1], w=x[2], T=x[3])
-
-
-def _solve_merge_fused(axis: int, rhs: State3D, temp: State3D, out: State3D,
-                       ga: GridArrays3D, dt, pa: ParamsArgs3D, exact: bool):
-    """Full-fusion path: build + solve + UpdateSegment + temp merge in one
-    kernel (ops/pallas_sweep_dma2.py).  Caller guarantees: no duals, interior
-    rows == NODE_IN for this axis, line length within VMEM."""
-    from ..ops.pallas_sweep_dma2 import fused_sweep_merge
-    h = (pa.dx, pa.dy, pa.dz)[axis]
-    adv = (temp.u, temp.v, temp.w)[axis]
-    inv3dt = 3.0 / dt
-    grad_T = stencil.d1(temp.T, h, axis)
-    if axis == 0:
-        diss = stencil.diss_x_3d(temp.u, temp.v, temp.w, pa.dx, pa.dy, pa.dz)
-    elif axis == 1:
-        diss = stencil.diss_y_3d(temp.u, temp.v, temp.w, pa.dx, pa.dy, pa.dz)
-    else:
-        diss = stencil.diss_z_3d(temp.u, temp.v, temp.w, pa.dx, pa.dy, pa.dz)
-
-    cls = ga.cls_a[axis]
-    interior = cls == INTERIOR
-    is_bc = (cls == BC0) | (cls == BC1)
-    bc_vals = (ga.val_u, ga.val_v, ga.val_w, ga.val_T)
-    bcs = (ga.bc_vel, ga.bc_vel, ga.bc_vel, ga.bc_temp)
-    ds = []
-    for vi, f in enumerate((rhs.u, rhs.v, rhs.w, rhs.T)):
-        d = f * inv3dt
-        if vi == axis:
-            d = d - pa.v_T * grad_T
-        if vi == 3:
-            d = rhs.T * inv3dt + pa.t_phi * diss
-        free = bcs[vi] == BCtype.FREE
-        d_bc = jnp.where(free, 0.0, bc_vals[vi])
-        ds.append(jnp.where(interior, d, jnp.where(is_bc, d_bc, 0.0)))
-
-    vis_h2 = pa.v_vis / (h * h)
-    t_h2 = pa.t_vis / (h * h)
-    scal = jnp.stack([vis_h2, t_h2, inv3dt, 1.0 / (2.0 * h)])
-    op4 = jnp.stack(tuple(out))
-    tp4 = jnp.stack(tuple(temp))
-
-    if axis == 2:
-        sw = lambda t: jnp.swapaxes(t, 1, 2)
-        sw4 = lambda t: jnp.swapaxes(t, 2, 3)
-        o4, t4 = fused_sweep_merge(sw(adv), sw(cls), sw(ga.bc_vel),
-                                   sw(ga.bc_temp),
-                                   jnp.stack([sw(dd) for dd in ds]),
-                                   sw4(op4), sw4(tp4), scal,
-                                   sweep_axis=1, exact=exact)
-        o4, t4 = sw4(o4), sw4(t4)
-    else:
-        o4, t4 = fused_sweep_merge(adv, cls, ga.bc_vel, ga.bc_temp,
-                                   jnp.stack(ds), op4, tp4, scal,
-                                   sweep_axis=axis, exact=exact)
-    return (State3D(t4[0], t4[1], t4[2], t4[3]),
-            State3D(o4[0], o4[1], o4[2], o4[3]))
 
 
 def _solve_stream_fused(axis: int, rhs: State3D, temp: State3D, out: State3D,
@@ -421,25 +364,17 @@ def _solve_direction_3d(axis: int, rhs: State3D, temp: State3D, out_layer: State
     if backend in ("fused_full", "fused_bf16"):
         from ..ops.pallas_sweep_stream import MAX_SWEEP
         ok_size = n_sweep <= MAX_SWEEP
-    elif backend == "fused_merge":
-        from ..ops.pallas_sweep_dma2 import fits
-        n_other = rhs.u.shape[1] if axis == 2 else rhs.u.shape[2]
-        ok_size = fits(n_sweep, n_other)
     else:
         ok_size = False
-    if (backend in ("fused_merge", "fused_full", "fused_bf16")
+    if (backend in ("fused_full", "fused_bf16")
             and merge_ok and ga.cls_b[axis] is None and ok_size
-            and (plan is None
-                 or (axis != 0 and backend != "fused_merge"))):
+            and (plan is None or axis != 0)):
         # under a mesh the Y/Z stream kernels run per shard (shard_map in
-        # _solve_stream_fused); the X direction and fused_merge fall through
-        # to the resharding fused_dma path below
-        if backend == "fused_merge":
-            fused_dir = _solve_merge_fused
-        else:
-            fused_dir = functools.partial(
-                _solve_stream_fused, bf16=(backend == "fused_bf16"),
-                plan=plan)
+        # _solve_stream_fused); the X direction falls through to the
+        # resharding fused_dma path below
+        fused_dir = functools.partial(
+            _solve_stream_fused, bf16=(backend == "fused_bf16"),
+            plan=plan)
         out = out_layer
         for _ in range(num_local):
             temp, out = fused_dir(axis, rhs, temp, out, ga, dt, pa, exact)
@@ -476,21 +411,23 @@ def adi_timestep_3d(cur: State3D, nxt_prev: State3D, ga: GridArrays3D, dt,
     reference swaps cur/next pointers each step; only BOUND/VALVE cells of it
     are re-seeded from cur before the sweeps).
     """
+    if backend == "fused_merge":
+        # retired round 3: the pallas_sweep_dma2 merge-fold kernel was
+        # superseded by the streamed full-fusion kernel (same in-kernel
+        # UpdateSegment+merge, strictly less HBM traffic, cross-block
+        # pipelined — RESULTS.md round-2 A/B); the name stays as an alias
+        backend = "fused_full"
     if plan is not None:
         # Sharded runs use the fused kernels via shard_map (the reference
         # runs its fused CUDA kernels inside the multi-GPU configuration
         # likewise, AdiSolver3D.cu:524-640): the full-fusion stream kernel
         # per shard for the Y/Z directions (_solve_stream_fused), the
         # manual-DMA sweep with an all_to_all reshard for X
-        # (_sharded_fused).  fused_merge's own in-kernel merge variant is
-        # single-chip only -> fused_dma; the two-pass "pallas" backend
-        # would run on GSPMD-sharded row arrays without a shard_map -> scan.
+        # (_sharded_fused).  The two-pass "pallas" backend would run on
+        # GSPMD-sharded row arrays without a shard_map -> scan.
         if backend == "auto":
             backend = ("fused_full" if jax.default_backend() == "tpu"
                        else "fused")
-        elif backend == "fused_merge":
-            # its in-kernel merge variant is single-chip only
-            backend = "fused_dma"
         elif backend == "pallas":
             backend = "scan"
 
@@ -499,7 +436,7 @@ def adi_timestep_3d(cur: State3D, nxt_prev: State3D, ga: GridArrays3D, dt,
     # call) lets XLA drop every per-call pad/crop copy.  Identity rows make
     # padded cells inert; types pad with OUT.
     pad = None
-    if plan is None and backend in ("fused", "fused_dma", "fused_merge",
+    if plan is None and backend in ("fused", "fused_dma",
                                     "fused_full", "fused_bf16"):
         nx, ny, nz = cur.u.shape
         tgt = (-nx % 8, -ny % 128, -nz % 128)

@@ -114,13 +114,18 @@ def use_mesh(plan: Optional[ShardingPlan]):
 
 
 def make_x_mesh(n_devices: Optional[int] = None, devices=None) -> ShardingPlan:
-    devs = list(devices if devices is not None else jax.devices())
-    # DCN-aware placement: order devices so consecutive X shards are
-    # process-local — neighbor halo ppermutes then cross hosts (DCN) only at
-    # per-host block boundaries, everything else rides ICI.  (The reference
-    # nests its MPI split outside the per-node GPU split for the same
-    # reason, PARAplan.cpp:62-90.)
-    devs.sort(key=lambda d: (d.process_index, d.id))
+    if devices is not None:
+        # an explicit device list is taken as-is: the caller's ordering is
+        # the mesh ordering (canonicalizing it here would silently discard
+        # an intentional placement)
+        devs = list(devices)
+    else:
+        # DCN-aware placement: order devices so consecutive X shards are
+        # process-local — neighbor halo ppermutes then cross hosts (DCN)
+        # only at per-host block boundaries, everything else rides ICI.
+        # (The reference nests its MPI split outside the per-node GPU split
+        # for the same reason, PARAplan.cpp:62-90.)
+        devs = sorted(jax.devices(), key=lambda d: (d.process_index, d.id))
     if n_devices is not None:
         if n_devices > len(devs):
             raise ValueError(

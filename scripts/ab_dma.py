@@ -62,9 +62,15 @@ def main():
     d4 = jax.random.uniform(key, (4, n, n, n), jnp.float32, -1, 1)
     scal = jnp.array([0.1, 0.2, 3.0, 0.5], jnp.float32)
 
+    import inspect
+
     def run(k):
-        return k(adv, cls, bcv, bct, d4, scal, sweep_axis=args.axis,
-                 exact=True, s_tile=args.s_tile)
+        # older staged revisions may predate newer keyword args (s_tile,
+        # t_var, bc2d, ...): pass only what the staged signature accepts
+        kw = dict(sweep_axis=args.axis, exact=True, s_tile=args.s_tile)
+        sig = inspect.signature(k)
+        kw = {n: v for n, v in kw.items() if n in sig.parameters}
+        return k(adv, cls, bcv, bct, d4, scal, **kw)
 
     xo = run(old_k); so = sync(xo)
     xn = run(new_k); sn = sync(xn)

@@ -37,17 +37,28 @@ def main():
 
     plan = make_x_mesh(len(jax.devices()))
     adi3d, ga, cur, pa = g._setup(32, 16, 16, "scan")
+    # merge_ok must come from the unsharded grid (host numpy); sharded
+    # multihost arrays are not fully addressable per process
+    merge_ok = g._merge_ok(ga)
     # identical host data on every process -> device_put places each
     # process's shards locally (the reference loads the grid on every rank
     # too, Grid3D.cpp:488)
     cur = plan.shard_state(cur)
     ga = plan.shard_grid(ga)
-    new, err = adi3d.adi_timestep_3d(cur, cur, ga, jnp.float32(0.01),
-                                     num_global=2, num_local=1, pa=pa,
-                                     backend="scan", exact=False,
-                                     compute_error=True, plan=plan)
-    jax.block_until_ready(new)
-    print(f"RESULT rank={jax.process_index()} err={float(err):.9e}",
+    errs = {}
+    # the production fused path: {jax.distributed x shard_map x Pallas}
+    # — the Y/Z stream kernels run per shard, the X sweep reshards through
+    # the fused_dma kernel across processes
+    for backend in ("fused_full", "scan"):
+        new, err = adi3d.adi_timestep_3d(cur, cur, ga, jnp.float32(0.01),
+                                         num_global=2, num_local=1, pa=pa,
+                                         backend=backend, exact=False,
+                                         compute_error=True, plan=plan,
+                                         merge_ok=merge_ok)
+        jax.block_until_ready(new)
+        errs[backend] = float(err)
+    assert abs(errs["fused_full"] - errs["scan"]) < 1e-6, errs
+    print(f"RESULT rank={jax.process_index()} err={errs['fused_full']:.9e}",
           flush=True)
 
 

@@ -71,3 +71,15 @@ def test_bf16_stream_path_close_to_f32():
         np.testing.assert_allclose(np.asarray(o), np.asarray(r), atol=0.02)
     assert np.isfinite(float(e1))
     assert abs(float(e0) - float(e1)) < 0.01
+
+
+def test_bf16_horizon_guardrail():
+    """fused_bf16 is a bounded-horizon mode: the CLI must warn on long
+    trajectories (measured drift table, RESULTS.md) and stay silent for
+    short runs and for the f32 parity backends."""
+    from cmcfs_tpu.cli3d import bf16_horizon_warning, BF16_STEP_WARN_THRESHOLD
+    assert bf16_horizon_warning("fused_bf16", BF16_STEP_WARN_THRESHOLD + 1)
+    assert "fused_bf16" in bf16_horizon_warning("fused_bf16", 1000)
+    assert bf16_horizon_warning("fused_bf16", 10) is None
+    assert bf16_horizon_warning("fused_full", 100000) is None
+    assert bf16_horizon_warning("scan", 100000) is None
