@@ -28,10 +28,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .masks import BC0, BC1, INTERIOR
-
-LANES = 128
-S_TILE = 8
+from .sweep_common import (LANES, S_TILE, build_abc, ceil_to as _ceil_to,
+                           decode_pk, make_row_ops, pack_masks)
 
 
 def _kernel(scal_ref, adv_ref, pk_ref, d_ref, x_ref,
@@ -43,17 +41,7 @@ def _kernel(scal_ref, adv_ref, pk_ref, d_ref, x_ref,
     inv2h = scal_ref[3]
     vis = jnp.where(v == 3, t_vis_h2, v_vis_h2)
     b_int = inv3dt + 2.0 * vis
-
-    def row(ref, p):
-        if sweep_axis == 0:
-            return ref[p]
-        return ref[:, p, :]
-
-    def set_row(ref, p, val):
-        if sweep_axis == 0:
-            ref[p] = val
-        else:
-            ref[:, p, :] = val
+    row, set_row = make_row_ops(sweep_axis)
 
     def drow(p):
         if sweep_axis == 0:
@@ -61,28 +49,10 @@ def _kernel(scal_ref, adv_ref, pk_ref, d_ref, x_ref,
         return d_ref[0, :, p, :]
 
     def build(p):
-        # packed mask: code = cls + 4*bc_vel + 8*bc_temp (f32-exact 0..15)
-        pk = row(pk_ref, p)
-        bct = jnp.floor(pk * 0.125)
-        r = pk - 8.0 * bct
-        bcv = jnp.floor(r * 0.25)
-        cls = r - 4.0 * bcv
+        cls, bcv, bct = decode_pk(row(pk_ref, p))
         bc = jnp.where(v == 3, bct, bcv)
         adv = row(adv_ref, p)
-        interior = cls == INTERIOR
-        is_bc0 = cls == BC0
-        is_bc1 = cls == BC1
-        free = bc == 1
-        adv_2h = adv * inv2h
-        a_i = -adv_2h - vis
-        c_i = adv_2h - vis
-        # 3D boundary rows (ApplyBC0/1, AdiSolver3D.cpp:804-852)
-        a = jnp.where(interior, a_i,
-                      jnp.where(is_bc1, jnp.where(free, -1.0, 0.0), 0.0))
-        b = jnp.where(interior, b_int,
-                      jnp.where(is_bc0 | is_bc1, jnp.where(free, 2.0, 1.0), 1.0))
-        c = jnp.where(interior, c_i,
-                      jnp.where(is_bc0, jnp.where(free, -1.0, 0.0), 0.0))
+        a, b, c = build_abc(cls, bc == 1, adv * inv2h, vis, b_int, bc2d=False)
         return a, b, c, drow(p)
 
     def fwd(p, carry):
@@ -124,10 +94,6 @@ def _kernel(scal_ref, adv_ref, pk_ref, d_ref, x_ref,
     jax.lax.fori_loop(0, n, bwd_body, zero)
 
 
-def _ceil_to(x: int, m: int) -> int:
-    return -(-x // m) * m
-
-
 @functools.partial(jax.jit, static_argnames=("sweep_axis", "exact"))
 def fused_sweep(adv, cls, bcv, bct, d4, scal, sweep_axis: int, exact: bool = True):
     """Solve the four ADI systems of one direction in a single fused kernel.
@@ -154,9 +120,7 @@ def fused_sweep(adv, cls, bcv, bct, d4, scal, sweep_axis: int, exact: bool = Tru
                        constant_values=val)
 
     advp = pad3(adv)
-    packed = (cls.astype(jnp.float32) + 4.0 * bcv.astype(jnp.float32)
-              + 8.0 * bct.astype(jnp.float32))
-    pkp = pad3(packed)    # padded rows become identity rows (cls 0)
+    pkp = pad3(pack_masks(cls, bcv, bct))    # padded rows become identity rows (cls 0)
     d4p = jnp.pad(d4, ((0, 0), (0, Ap - A), (0, Bp - B), (0, Cp - C)))
 
     c_chunks = Cp // LANES

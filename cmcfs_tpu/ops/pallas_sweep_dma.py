@@ -23,10 +23,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .masks import BC0, BC1, INTERIOR
-
-LANES = 128
-S_TILE = 8
+from .sweep_common import (LANES, S_TILE, build_abc, ceil_to as _ceil_to,
+                           decode_pk, make_row_ops, pack_masks)
 
 
 def _solve_var(v, adv_v, pk_v, d_v, x_v, cp, dp, scal_ref, n, sweep_axis,
@@ -37,52 +35,14 @@ def _solve_var(v, adv_v, pk_v, d_v, x_v, cp, dp, scal_ref, n, sweep_axis,
     inv2h = scal_ref[3]
     vis = t_vis_h2 if v == t_var else v_vis_h2
     b_int = inv3dt + 2.0 * vis
-    f32 = jnp.float32
-
-    def row(ref, p):
-        # storage may be bf16 (half the HBM traffic); Thomas runs in f32
-        if sweep_axis == 0:
-            return ref[p].astype(f32)
-        return ref[:, p, :].astype(f32)
-
-    def set_row(ref, p, val):
-        val = val.astype(ref.dtype)
-        if sweep_axis == 0:
-            ref[p] = val
-        else:
-            ref[:, p, :] = val
+    # storage may be bf16 (half the HBM traffic); Thomas runs in f32
+    row, set_row = make_row_ops(sweep_axis, cast_f32=True)
 
     def build(p):
-        pk = row(pk_v, p)
-        bct = jnp.floor(pk * 0.125)
-        r = pk - 8.0 * bct
-        bcv = jnp.floor(r * 0.25)
-        cls = r - 4.0 * bcv
+        cls, bcv, bct = decode_pk(row(pk_v, p))
         bc = bct if v == t_var else bcv
         adv = row(adv_v, p)
-        interior = cls == INTERIOR
-        is_bc0 = cls == BC0
-        is_bc1 = cls == BC1
-        free = bc == 1
-        adv_2h = adv * inv2h
-        if bc2d:
-            # 2D boundary rows (AdiSolver2D.cpp:74-116): FREE is the
-            # difference stencil x0-x1=0 / x_{n-2}-x_{n-1}=0 (+1/-1 signs),
-            # unlike the 3D free-extrapolation (2,-1) rows
-            a = jnp.where(interior, -adv_2h - vis,
-                          jnp.where(is_bc1, jnp.where(free, 1.0, 0.0), 0.0))
-            b = jnp.where(interior, b_int,
-                          jnp.where(is_bc1, jnp.where(free, -1.0, 1.0), 1.0))
-            c = jnp.where(interior, adv_2h - vis,
-                          jnp.where(is_bc0, jnp.where(free, -1.0, 0.0), 0.0))
-        else:
-            a = jnp.where(interior, -adv_2h - vis,
-                          jnp.where(is_bc1, jnp.where(free, -1.0, 0.0), 0.0))
-            b = jnp.where(interior, b_int,
-                          jnp.where(is_bc0 | is_bc1,
-                                    jnp.where(free, 2.0, 1.0), 1.0))
-            c = jnp.where(interior, adv_2h - vis,
-                          jnp.where(is_bc0, jnp.where(free, -1.0, 0.0), 0.0))
+        a, b, c = build_abc(cls, bc == 1, adv * inv2h, vis, b_int, bc2d)
         return a, b, c, row(d_v, p)
 
     def fwd_body(p, carry):
@@ -240,10 +200,6 @@ def _make_kernel(n, sweep_axis, exact, bf16=False, s_tile=S_TILE, nvars=4,
     return kernel
 
 
-def _ceil_to(x: int, m: int) -> int:
-    return -(-x // m) * m
-
-
 def _pick_s_tile() -> int:
     """Default slab thickness, overridable via env CMCFS_S_TILE for tuning.
 
@@ -298,9 +254,7 @@ def _fused_sweep_dma(adv, cls, bcv, bct, d4, scal, sweep_axis: int,
         return jnp.pad(x, ((0, Ap - A), (0, Bp - B), (0, Cp - C)))
 
     advp = pad3(adv)
-    packed = (cls.astype(jnp.float32) + 4.0 * bcv.astype(jnp.float32)
-              + 8.0 * bct.astype(jnp.float32))
-    pkp = pad3(packed)
+    pkp = pad3(pack_masks(cls, bcv, bct))
     d4p = jnp.pad(d4, ((0, 0), (0, Ap - A), (0, Bp - B), (0, Cp - C)))
 
     # storage dtype of the per-variable payload (RHS/solution) follows d4;

@@ -24,21 +24,23 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .masks import BC0, BC1, INTERIOR
-
-LANES = 128
-S_TILE = 8
+from .sweep_common import (LANES, S_TILE, build_abc, ceil_to as _ceil_to,
+                           decode_pk, make_row_ops, pack_masks)
 # 12 chunk slabs of 8*CH*Cp*4 bytes (everything double-buffered for the
 # cross-chunk DMA pipeline) must sit inside the scoped-VMEM grant
 VMEM_BUDGET = 48 * 2 ** 20
 VMEM_LIMIT = 64 * 2 ** 20
 
 
-def _pick_chunk(n: int, cp: int) -> int:
+def _pick_chunk(n: int, cp: int, bf16: bool = False) -> int:
     """Largest 8-multiple chunk that fits VMEM, preferring an even split of
     ``n`` (ceil(n/m) rows per chunk) so the sweep isn't padded — the old
-    greedy pick padded 384 -> 480 (ch=160)."""
-    per_row = S_TILE * cp * 4 * 12
+    greedy pick padded 384 -> 480 (ch=160).
+
+    Slab budget per row (f32-equivalents): f32 mode = 12 (adv 2 + pk 2 +
+    d 2 + c' 2 + d' 2 + x 2); bf16 mode = 13 (d/x slabs halve to 1+1 but
+    the d_f upcast stage adds 1 and the x_bf DMA buffers add 1)."""
+    per_row = S_TILE * cp * 4 * (13 if bf16 else 12)
     ch_max = max(8, min(n, VMEM_BUDGET // per_row) // 8 * 8)
     m = -(-n // ch_max)            # number of chunks
     return _ceil_to(-(-n // m), 8)  # rows per chunk, 8-aligned
@@ -46,16 +48,7 @@ def _pick_chunk(n: int, cp: int) -> int:
 
 def _make_kernel(n, n_chunks, ch, sweep_axis, exact, nvars=4, t_var=3,
                  bc2d=False, bf16=False):
-    def row(ref, p):
-        if sweep_axis == 0:
-            return ref[p]
-        return ref[:, p, :]
-
-    def set_row(ref, p, val):
-        if sweep_axis == 0:
-            ref[p] = val
-        else:
-            ref[:, p, :] = val
+    row, set_row = make_row_ops(sweep_axis)
 
     def body(scal_ref, adv_hbm, pk_hbm, d_hbm,
              x_hbm, cp_hbm, dp_hbm,
@@ -84,40 +77,11 @@ def _make_kernel(n, n_chunks, ch, sweep_axis, exact, nvars=4, t_var=3,
             b_int = inv3dt + 2.0 * vis
 
             def build(p_global, p_local, kp):
-                pk = row(pk_c.at[kp], p_local)
-                bct = jnp.floor(pk * 0.125)
-                r = pk - 8.0 * bct
-                bcv = jnp.floor(r * 0.25)
-                cls = r - 4.0 * bcv
+                cls, bcv, bct = decode_pk(row(pk_c.at[kp], p_local))
                 bc = bct if v == t_var else bcv
                 adv = row(adv_c.at[kp], p_local)
-                interior = cls == INTERIOR
-                is_bc0 = cls == BC0
-                is_bc1 = cls == BC1
-                free = bc == 1
-                adv_2h = adv * inv2h
-                if bc2d:
-                    # 2D boundary rows (AdiSolver2D.cpp:74-116): FREE is the
-                    # +1/-1 difference stencil, not the 3D (2,-1) rows
-                    a = jnp.where(interior, -adv_2h - vis,
-                                  jnp.where(is_bc1,
-                                            jnp.where(free, 1.0, 0.0), 0.0))
-                    b = jnp.where(interior, b_int,
-                                  jnp.where(is_bc1,
-                                            jnp.where(free, -1.0, 1.0), 1.0))
-                    c = jnp.where(interior, adv_2h - vis,
-                                  jnp.where(is_bc0,
-                                            jnp.where(free, -1.0, 0.0), 0.0))
-                else:
-                    a = jnp.where(interior, -adv_2h - vis,
-                                  jnp.where(is_bc1,
-                                            jnp.where(free, -1.0, 0.0), 0.0))
-                    b = jnp.where(interior, b_int,
-                                  jnp.where(is_bc0 | is_bc1,
-                                            jnp.where(free, 2.0, 1.0), 1.0))
-                    c = jnp.where(interior, adv_2h - vis,
-                                  jnp.where(is_bc0,
-                                            jnp.where(free, -1.0, 0.0), 0.0))
+                a, b, c = build_abc(cls, bc == 1, adv * inv2h, vis, b_int,
+                                    bc2d)
                 a_eff = jnp.where(p_global == 0, 0.0, a)
                 c_eff = jnp.where(p_global == n - 1, 0.0, c)
                 # bf16 payload: d rows read from the full-chunk f32 upcast
@@ -268,10 +232,6 @@ def _make_kernel(n, n_chunks, ch, sweep_axis, exact, nvars=4, t_var=3,
     return kernel
 
 
-def _ceil_to(x: int, m: int) -> int:
-    return -(-x // m) * m
-
-
 @functools.partial(jax.jit, static_argnames=("sweep_axis", "exact", "chunk",
                                              "t_var", "bc2d"))
 def fused_sweep_long(adv, cls, bcv, bct, d4, scal, sweep_axis: int,
@@ -291,7 +251,8 @@ def fused_sweep_long(adv, cls, bcv, bct, d4, scal, sweep_axis: int,
     n0 = (Ap, Bp)[sweep_axis]
     # the row loops advance in 8-row groups; a non-multiple chunk would
     # silently skip rows, so round a caller-supplied chunk up
-    ch = _ceil_to(chunk, 8) if chunk is not None else _pick_chunk(n0, Cp)
+    ch = (_ceil_to(chunk, 8) if chunk is not None
+          else _pick_chunk(n0, Cp, bf16=(d4.dtype == jnp.bfloat16)))
     n = _ceil_to(n0, ch)
     if sweep_axis == 0:
         Ap = n
@@ -303,9 +264,7 @@ def fused_sweep_long(adv, cls, bcv, bct, d4, scal, sweep_axis: int,
         return jnp.pad(x, ((0, Ap - A), (0, Bp - B), (0, Cp - C)))
 
     advp = pad3(adv)
-    packed = (cls.astype(jnp.float32) + 4.0 * bcv.astype(jnp.float32)
-              + 8.0 * bct.astype(jnp.float32))
-    pkp = pad3(packed)
+    pkp = pad3(pack_masks(cls, bcv, bct))
     d4p = jnp.pad(d4, ((0, 0), (0, Ap - A), (0, Bp - B), (0, Cp - C)))
 
     slab = (ch, S_TILE, Cp) if sweep_axis == 0 else (S_TILE, ch, Cp)

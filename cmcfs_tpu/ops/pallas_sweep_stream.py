@@ -1,6 +1,6 @@
 """Streamed full-fusion ADI sweep: RHS build + Thomas + update + merge.
 
-The round-1 kernels (pallas_sweep_dma.py, pallas_sweep_dma2.py) still pay
+The fused_dma kernel (pallas_sweep_dma.py) still pays
 for a materialized RHS array (XLA writes d4 = 4 fields, kernel reads it
 back) and for XLA merge passes (UpdateSegment + NODE_IN averaging: ~20
 field-moves per direction iteration).  This kernel moves both inside:
@@ -37,8 +37,8 @@ CUDA kernel with INTERNAL_MERGE_ENABLE (AdiSolver3D.cu:75-374): there the
 fusion saved kernel launches and global-memory round-trips of (a,b,c,d);
 here it saves the HBM round-trips of d4 and the merge fields.
 
-Caller guarantees (same as fused_sweep_merge): no dual endpoints, interior
-rows == NODE_IN for this axis, sweep length within the VMEM cap.
+Caller guarantees: no dual endpoints, interior rows == NODE_IN for this
+axis, sweep length within the VMEM cap.
 """
 from __future__ import annotations
 
@@ -50,25 +50,16 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .masks import BC0, BC1, INTERIOR
-
-LANES = 128
-S_TILE = 8
+from .sweep_common import (LANES, S_TILE, build_a, build_abc,
+                           ceil_to as _ceil_to, decode_pk, make_row_ops,
+                           pack_masks)
 # slab set + merge temporaries must fit the scoped-VMEM grant; enforced by
 # callers via this constant (models/adi3d.py ok_size) and asserted below
 MAX_SWEEP = 256
 
 
 def _make_kernel(n, sweep_axis, axis_var, exact, c_blocks, bf16=False):
-    def row(ref, p):
-        if sweep_axis == 0:
-            return ref[p]
-        return ref[:, p, :]
-
-    def set_row(ref, p, val):
-        if sweep_axis == 0:
-            ref[p] = val
-        else:
-            ref[:, p, :] = val
+    row, set_row = make_row_ops(sweep_axis)
 
     # streamed-input layout: in_buf[slot, 0]=rhs_v, [slot, 1]=out_prev_v,
     # [slot, 2]=temp_v (vars other than axis_var/T) or t_phi*diss (v==3)
@@ -202,18 +193,10 @@ def _make_kernel(n, sweep_axis, axis_var, exact, c_blocks, bf16=False):
             return jax.lax.fori_loop(0, n // 8, chunk, init)
 
         def decode(p):
-            pk = row(pk_b, p)
-            bct = jnp.floor(pk * 0.125)
-            r8 = pk - 8.0 * bct
-            bcv = jnp.floor(r8 * 0.25)
-            cls = r8 - 4.0 * bcv
-            return cls, bcv, bct
+            return decode_pk(row(pk_b, p))
 
-        def build_a(p, cls, free, vis):
-            adv = row(adv_b, p)
-            a = jnp.where(cls == INTERIOR, -adv * inv2h - vis,
-                          jnp.where(cls == BC1,
-                                    jnp.where(free, -1.0, 0.0), 0.0))
+        def a_eff_row(p, cls, free, vis):
+            a = build_a(cls, free, row(adv_b, p) * inv2h, vis)
             return jnp.where(p == 0, 0.0, a)
 
         def coeff_pass(vis, for_T):
@@ -228,18 +211,8 @@ def _make_kernel(n, sweep_axis, axis_var, exact, c_blocks, bf16=False):
             def body(p, c_prev):
                 cls, bcv, bct = decode(p)
                 free = (bct if for_T else bcv) == 1
-                interior = cls == INTERIOR
-                is_bc0 = cls == BC0
-                adv = row(adv_b, p)
-                a = jnp.where(interior, -adv * inv2h - vis,
-                              jnp.where(cls == BC1,
-                                        jnp.where(free, -1.0, 0.0), 0.0))
-                b = jnp.where(interior, b_int,
-                              jnp.where(is_bc0 | (cls == BC1),
-                                        jnp.where(free, 2.0, 1.0), 1.0))
-                c = jnp.where(interior, adv * inv2h - vis,
-                              jnp.where(is_bc0,
-                                        jnp.where(free, -1.0, 0.0), 0.0))
+                a, b, c = build_abc(cls, free, row(adv_b, p) * inv2h, vis,
+                                    b_int, bc2d=False)
                 a_eff = jnp.where(p == 0, 0.0, a)
                 c_eff = jnp.where(p == n - 1, 0.0, c)
                 denom = b - a_eff * c_prev
@@ -266,7 +239,7 @@ def _make_kernel(n, sweep_axis, axis_var, exact, c_blocks, bf16=False):
                 cls, bcv, bct = decode(p)
                 free = (bct if v == 3 else bcv) == 1
                 interior = cls == INTERIOR
-                a_eff = build_a(p, cls, free, vis)
+                a_eff = a_eff_row(p, cls, free, vis)
                 # in-kernel RHS (reference BuildMatrix AdiSolver3D.cpp:732-802)
                 d_int = row(rhs_ref, p) * inv3dt
                 if v == axis_var:
@@ -303,9 +276,7 @@ def _make_kernel(n, sweep_axis, axis_var, exact, c_blocks, bf16=False):
                 sl = ((slice(m * n // n_mrg, (m + 1) * n // n_mrg),)
                       if sweep_axis == 0 else
                       (slice(None), slice(m * n // n_mrg, (m + 1) * n // n_mrg)))
-                pk = pk_b[sl]
-                r8 = pk - 8.0 * jnp.floor(pk * 0.125)
-                cls = r8 - 4.0 * jnp.floor(r8 * 0.25)
+                cls, _, _ = decode_pk(pk_b[sl])
                 written = cls != 0.0
                 is_in = cls == INTERIOR     # caller guarantees == NODE_IN
                 t_old = tv_ref[sl]
@@ -395,10 +366,6 @@ def _make_kernel(n, sweep_axis, axis_var, exact, c_blocks, bf16=False):
     return kernel
 
 
-def _ceil_to(x: int, m: int) -> int:
-    return -(-x // m) * m
-
-
 @functools.partial(jax.jit,
                    static_argnames=("sweep_axis", "axis_var", "exact"))
 def fused_sweep_stream(temp4, cls, bcv, bct, rhs4, out_prev4, forcing, scal,
@@ -425,10 +392,8 @@ def fused_sweep_stream(temp4, cls, bcv, bct, rhs4, out_prev4, forcing, scal,
     def pad4(x):
         return jnp.pad(x, ((0, 0), (0, Ap - A), (0, Bp - B), (0, Cp - C)))
 
-    packed = (cls.astype(jnp.float32) + 4.0 * bcv.astype(jnp.float32)
-              + 8.0 * bct.astype(jnp.float32))
     tp4 = pad4(temp4)
-    pkp = pad3(packed)
+    pkp = pad3(pack_masks(cls, bcv, bct))
     rp4 = pad4(rhs4)
     op4 = pad4(out_prev4)
     fp = pad3(forcing)

@@ -25,6 +25,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .sweep_common import ceil_to as _ceil_to
+
 LANES = 128
 
 
@@ -84,10 +86,6 @@ def _bwd_kernel(cp_ref, dp_ref, x_ref, carry_x, *, n_t: int, unroll: bool):
             body(q, 0)
     else:
         jax.lax.fori_loop(0, n_t, body, 0)
-
-
-def _ceil_to(x: int, m: int) -> int:
-    return -(-x // m) * m
 
 
 @functools.partial(jax.jit, static_argnames=("exact", "n_tile", "s_tile",
