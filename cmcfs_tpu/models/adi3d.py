@@ -166,7 +166,8 @@ def _build_and_solve_3d(axis: int, rhs: State3D, temp: State3D, ga: GridArrays3D
             # solve their own full-length lines, the X sweep reshards first
             # (so 512^3-class grids keep the fused path on 2+ chips)
             from ..ops.pallas_sweep_long import fused_sweep_long as fused_sweep
-        elif backend in ("fused_dma", "fused_full", "fused_bf16"):
+        elif backend in ("fused_dma", "fused_full", "fused_bf16",
+                         "fused_nl"):
             from ..ops.pallas_sweep_dma import fused_sweep_dma as fused_sweep
             # bf16 storage mode: kernel HBM traffic halves; the Thomas
             # recurrence still runs in f32 inside the kernel (a TPU-native
@@ -272,8 +273,8 @@ def _build_and_solve_3d(axis: int, rhs: State3D, temp: State3D, ga: GridArrays3D
     n_sweep = rhs.u.shape[axis]
     wavefront_x = (axis == 0 and plan is not None
                    and getattr(plan, "nblockz", 0) > 1)
-    solver = (solve_fused if (backend in ("fused", "fused_dma",
-                                          "fused_full", "fused_bf16")
+    solver = (solve_fused if (backend in ("fused", "fused_dma", "fused_full",
+                                          "fused_bf16", "fused_nl")
                               and not wavefront_x)
               else solve_with_cls)
     x = solver(ga.cls_a[axis])
@@ -355,28 +356,83 @@ def _solve_stream_fused(axis: int, rhs: State3D, temp: State3D, out: State3D,
             State3D(o4[0], o4[1], o4[2], o4[3]))
 
 
+def _solve_nl_fused(axis: int, rhs: State3D, temp: State3D, out: State3D,
+                    ga: GridArrays3D, dt, pa: ParamsArgs3D, exact: bool):
+    """num_local-PAIR fusion: TWO local iterations in one kernel invocation
+    (ops/pallas_sweep_nl.py) — iteration 2's coefficients and dissipation
+    forcing are rebuilt in-kernel from the VMEM-resident merged temp, so
+    the grid is streamed once per pair instead of once per iteration (the
+    structural ~2x HBM-traffic cut over the reference's per-iteration
+    relaunch, AdiSolver3D.cpp:587-655).  Same caller guarantees as
+    _solve_stream_fused, plus: single-chip only (in-kernel diss needs the
+    cross-block halos that shard boundaries would break)."""
+    from ..ops.pallas_sweep_nl import fused_sweep_nl
+    h = (pa.dx, pa.dy, pa.dz)[axis]
+    if axis == 0:
+        diss = stencil.diss_x_3d(temp.u, temp.v, temp.w, pa.dx, pa.dy, pa.dz)
+    elif axis == 1:
+        diss = stencil.diss_y_3d(temp.u, temp.v, temp.w, pa.dx, pa.dy, pa.dz)
+    else:
+        diss = stencil.diss_z_3d(temp.u, temp.v, temp.w, pa.dx, pa.dy, pa.dz)
+    forcing = pa.t_phi * diss
+    # cross-axis derivative scales for the in-kernel diss of iteration 2,
+    # in the KERNEL's slab layout: j-dim (blocked 8-row dim) and lane dim
+    #   axis 0: slab (x, y, z) -> j = y, lanes = z
+    #   axis 1: slab (x, y, z) -> j = x, lanes = z
+    #   axis 2: swapped (x, z, y) -> j = x, lanes = y
+    hj, hl = {0: (pa.dy, pa.dz), 1: (pa.dx, pa.dz),
+              2: (pa.dx, pa.dy)}[axis]
+    scal = jnp.stack([pa.v_vis / (h * h), pa.t_vis / (h * h), 3.0 / dt,
+                      1.0 / (2.0 * h), pa.v_T, pa.t_phi,
+                      1.0 / (2.0 * hj), 1.0 / (2.0 * hl)])
+    temp4 = jnp.stack(tuple(temp))
+    rhs4 = jnp.stack(tuple(rhs))
+    op4 = jnp.stack(tuple(out))
+    cls = ga.cls_a[axis]
+    if axis == 2:
+        sw = lambda t: jnp.swapaxes(t, 1, 2)
+        sw4 = lambda t: jnp.swapaxes(t, 2, 3)
+        o4, t4 = fused_sweep_nl(sw4(temp4), sw(cls), sw(ga.bc_vel),
+                                sw(ga.bc_temp), sw4(rhs4), sw4(op4),
+                                sw(forcing), scal,
+                                sweep_axis=1, axis_var=axis, exact=exact)
+        o4, t4 = sw4(o4), sw4(t4)
+    else:
+        o4, t4 = fused_sweep_nl(temp4, cls, ga.bc_vel, ga.bc_temp,
+                                rhs4, op4, forcing, scal,
+                                sweep_axis=axis, axis_var=axis, exact=exact)
+    return (State3D(t4[0], t4[1], t4[2], t4[3]),
+            State3D(o4[0], o4[1], o4[2], o4[3]))
+
+
 def _solve_direction_3d(axis: int, rhs: State3D, temp: State3D, out_layer: State3D,
                         ga: GridArrays3D, dt, num_local: int, pa: ParamsArgs3D,
                         backend: str, exact: bool, plan=None,
                         merge_ok: bool = False):
     """Reference SolveDirection (AdiSolver3D.cpp:564-666), CPU semantics."""
     n_sweep = rhs.u.shape[axis]
-    if backend in ("fused_full", "fused_bf16"):
+    if backend in ("fused_full", "fused_bf16", "fused_nl"):
         from ..ops.pallas_sweep_stream import MAX_SWEEP
         ok_size = n_sweep <= MAX_SWEEP
     else:
         ok_size = False
-    if (backend in ("fused_full", "fused_bf16")
+    if (backend in ("fused_full", "fused_bf16", "fused_nl")
             and merge_ok and ga.cls_b[axis] is None and ok_size
             and (plan is None or axis != 0)):
         # under a mesh the Y/Z stream kernels run per shard (shard_map in
         # _solve_stream_fused); the X direction falls through to the
         # resharding fused_dma path below
+        out = out_layer
+        n_left = num_local
+        if backend == "fused_nl" and plan is None:
+            for _ in range(num_local // 2):
+                temp, out = _solve_nl_fused(axis, rhs, temp, out, ga, dt,
+                                            pa, exact)
+            n_left = num_local % 2
         fused_dir = functools.partial(
             _solve_stream_fused, bf16=(backend == "fused_bf16"),
             plan=plan)
-        out = out_layer
-        for _ in range(num_local):
+        for _ in range(n_left):
             temp, out = fused_dir(axis, rhs, temp, out, ga, dt, pa, exact)
         return temp, out
 
@@ -436,8 +492,8 @@ def adi_timestep_3d(cur: State3D, nxt_prev: State3D, ga: GridArrays3D, dt,
     # call) lets XLA drop every per-call pad/crop copy.  Identity rows make
     # padded cells inert; types pad with OUT.
     pad = None
-    if plan is None and backend in ("fused", "fused_dma",
-                                    "fused_full", "fused_bf16"):
+    if plan is None and backend in ("fused", "fused_dma", "fused_full",
+                                    "fused_bf16", "fused_nl"):
         nx, ny, nz = cur.u.shape
         tgt = (-nx % 8, -ny % 128, -nz % 128)
         grow = ((nx + tgt[0]) * (ny + tgt[1]) * (nz + tgt[2])) / max(

@@ -1,0 +1,562 @@
+"""num_local-fused streamed ADI sweep: TWO local iterations per invocation.
+
+The reference's SolveDirection runs ``num_local`` inner iterations per
+direction, each a full matrix-build + solve + UpdateSegment + merge pass
+over the grid (AdiSolver3D.cpp:587-655); its INTERNAL_MERGE fold
+(AdiSolver3D.cu:315-374) moved the merge into the solve kernel but still
+re-reads every field per iteration.  pallas_sweep_stream.py is the TPU
+version of that fold — and still re-streams the whole grid ``num_local``
+times per direction.  At the reference config nl=2 that is ~2x the HBM
+traffic of this kernel, which keeps each block's slabs VMEM-resident
+across BOTH local iterations:
+
+* iteration 1 == the stream kernel (in-kernel RHS from rhs/temp slabs,
+  precomputed t_phi*diss forcing, solve, update+merge), except out1/tn1
+  stay in VMEM ring buffers instead of round-tripping through HBM;
+* iteration 2 rebuilds the coefficients from the MERGED temp (tn1) and
+  needs the T-equation forcing diss(tn1) — recomputed IN-KERNEL.  The
+  direction-specific dissipation functions (stencil.diss_{x,y,z}_3d,
+  reference TimeLayer3D.h:553-588) read cross-axis derivatives of ONLY
+  the sweep-direction velocity (uy, uz for the X sweep, ...), so the
+  required halo is one row/lane of tn1[axis_var] from the NEIGHBOR grid
+  blocks — which are still resident in the VMEM rings;
+* the grid is linearized (j, c)-major and iteration 2 of block b runs
+  ``lag = c_blocks`` steps behind iteration 1, when every halo neighbor
+  (b-1, b+1, b-c_blocks, b+c_blocks) has its iteration-1 result in a ring
+  slot.  Ring sizes: 2*c_blocks+1 slots of tn1[axis_var] (halo ring),
+  c_blocks+1 slots of {tn1 others, out1, pk} (per-cell ring);
+* only iteration 2's results are written to HBM; rhs4 is re-streamed for
+  iteration 2 (cheaper than another 4-slab ring), everything else of
+  iteration 2 comes from VMEM.
+
+Per direction (nl=2) HBM traffic: ~18 field reads + 8 writes, vs ~30
+reads + 16 writes + 2 XLA diss passes for two stream-kernel invocations.
+
+Grid-edge blocks read garbage/wrong-block halo values: those only feed
+dissipation at grid-border cells, which are never NODE_IN, so every
+consumer masks them (same argument as the jnp.roll wrap in ops/stencil.py).
+
+Caller guarantees (as pallas_sweep_stream): no dual endpoints, interior
+rows == NODE_IN for this axis, sweep length within MAX_SWEEP, num_local
+pair semantics (this kernel performs exactly TWO local iterations),
+single-chip (sharded Y/Z shards lack the cross-shard halo for the
+in-kernel diss — the per-iteration stream kernel handles that case).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .masks import BC0, BC1, INTERIOR
+from .sweep_common import (LANES, S_TILE, build_a, build_abc,
+                           ceil_to as _ceil_to, decode_pk, make_row_ops,
+                           pack_masks)
+
+MAX_SWEEP = 256
+N_MRG = 4     # row-chunk count for vectorized slab passes (VMEM stack cap)
+
+
+def _make_kernel(n, sweep_axis, axis_var, exact, c_blocks, n_blocks):
+    row, set_row = make_row_ops(sweep_axis)
+    total = n_blocks * c_blocks
+    lag = c_blocks
+    S_A = 2 * c_blocks + 1      # tn1[axis_var] halo ring
+    S_B = c_blocks + 1          # per-cell ring (tn1 others, out1)
+    S_P = c_blocks + 2          # pk ring (one extra slot for the prefetch)
+    others = [v for v in range(4) if v != axis_var]   # ring-B channels
+    ch_of = {v: i for i, v in enumerate(others)}
+    o1, o2 = [v for v in range(3) if v != axis_var]   # diss partner vars
+
+    # slab slicing helpers: chunk m covers sweep rows [m*n//N_MRG, ...)
+    def mrg_sl(m, lo=0, hi=None):
+        a = m * n // N_MRG + lo
+        b = (m + 1) * n // N_MRG if hi is None else hi
+        return ((slice(a, b),) if sweep_axis == 0
+                else (slice(None), slice(a, b)))
+
+    def body(scal_ref, temp_hbm, pk_hbm, rhs_hbm, op_hbm, forc_hbm,
+             out_hbm, tn_hbm,
+             adv_v, T_v, in_buf, rhs2_v, tnA, tnB, o1r, pkr,
+             out_buf, tn_buf, cp, rbuf, h1s, h2s, gavs, go1s, go2s, f2s,
+             sh_sems, in_sems, rhs2_sems, out_sems):
+        L = pl.program_id(0)
+        bp = jax.lax.rem(L, 2)
+        b2 = L - lag
+        v_vis_h2 = scal_ref[0]
+        t_vis_h2 = scal_ref[1]
+        inv3dt = scal_ref[2]
+        inv2h = scal_ref[3]
+        v_T = scal_ref[4]
+        t_phi = scal_ref[5]
+        inv2h_j = scal_ref[6]
+        inv2h_l = scal_ref[7]
+
+        def ring(b, size):
+            return jax.lax.rem(b + size, size)    # b >= -size always
+
+        def slab3(ref, b):
+            jj = jax.lax.div(b, c_blocks)
+            cc = jax.lax.rem(b, c_blocks)
+            if sweep_axis == 0:
+                return ref.at[:, pl.ds(jj * S_TILE, S_TILE),
+                              pl.ds(cc * LANES, LANES)]
+            return ref.at[pl.ds(jj * S_TILE, S_TILE), :,
+                          pl.ds(cc * LANES, LANES)]
+
+        def slab4(ref, vv, b):
+            jj = jax.lax.div(b, c_blocks)
+            cc = jax.lax.rem(b, c_blocks)
+            if sweep_axis == 0:
+                return ref.at[vv, :, pl.ds(jj * S_TILE, S_TILE),
+                              pl.ds(cc * LANES, LANES)]
+            return ref.at[vv, pl.ds(jj * S_TILE, S_TILE), :,
+                          pl.ds(cc * LANES, LANES)]
+
+        # ------------------------------------------------------ DMA helpers
+        def start_shared(b, par):
+            pltpu.make_async_copy(slab4(temp_hbm, axis_var, b),
+                                  adv_v.at[par], sh_sems.at[par, 0]).start()
+            pltpu.make_async_copy(slab4(temp_hbm, 3, b),
+                                  T_v.at[par], sh_sems.at[par, 1]).start()
+            pltpu.make_async_copy(slab3(pk_hbm, b), pkr.at[ring(b, S_P)],
+                                  sh_sems.at[par, 2]).start()
+
+        def wait_shared(par, b):
+            pltpu.make_async_copy(slab4(temp_hbm, axis_var, b),
+                                  adv_v.at[par], sh_sems.at[par, 0]).wait()
+            pltpu.make_async_copy(slab4(temp_hbm, 3, b),
+                                  T_v.at[par], sh_sems.at[par, 1]).wait()
+            pltpu.make_async_copy(slab3(pk_hbm, b), pkr.at[ring(b, S_P)],
+                                  sh_sems.at[par, 2]).wait()
+
+        def start_inputs(v, slot, b):
+            pltpu.make_async_copy(slab4(rhs_hbm, v, b), in_buf.at[slot, 0],
+                                  in_sems.at[slot, 0]).start()
+            pltpu.make_async_copy(slab4(op_hbm, v, b), in_buf.at[slot, 1],
+                                  in_sems.at[slot, 1]).start()
+            if v == 3:
+                pltpu.make_async_copy(slab3(forc_hbm, b),
+                                      in_buf.at[slot, 2],
+                                      in_sems.at[slot, 2]).start()
+            elif v != axis_var:
+                pltpu.make_async_copy(slab4(temp_hbm, v, b),
+                                      in_buf.at[slot, 2],
+                                      in_sems.at[slot, 2]).start()
+
+        def wait_inputs(v, slot, b):
+            pltpu.make_async_copy(slab4(rhs_hbm, v, b), in_buf.at[slot, 0],
+                                  in_sems.at[slot, 0]).wait()
+            pltpu.make_async_copy(slab4(op_hbm, v, b), in_buf.at[slot, 1],
+                                  in_sems.at[slot, 1]).wait()
+            if v != axis_var:
+                src = slab3(forc_hbm, b) if v == 3 else slab4(temp_hbm, v, b)
+                pltpu.make_async_copy(src, in_buf.at[slot, 2],
+                                      in_sems.at[slot, 2]).wait()
+
+        def start_rhs2(v, b):
+            pltpu.make_async_copy(slab4(rhs_hbm, v, b), rhs2_v.at[v % 2],
+                                  rhs2_sems.at[v % 2]).start()
+
+        def wait_rhs2(v, b):
+            pltpu.make_async_copy(slab4(rhs_hbm, v, b), rhs2_v.at[v % 2],
+                                  rhs2_sems.at[v % 2]).wait()
+
+        # --------------------------------------------------- shared chains
+        def chunked(fn, init):
+            def chunk(k, carry):
+                base = k * 8
+                for i in range(8):
+                    carry = fn(base + i, carry)
+                return carry
+            return jax.lax.fori_loop(0, n // 8, chunk, init)
+
+        zero_row = jnp.zeros_like(row(adv_v.at[0], 0))
+
+        def coeff_pass(adv_ref, pk_ref, vis, for_T):
+            """(c', denom) elimination chain shared by the velocity group /
+            recomputed for T (see pallas_sweep_stream.coeff_pass)."""
+            b_int = inv3dt + 2.0 * vis
+
+            def cbody(p, c_prev):
+                cls, bcv, bct = decode_pk(row(pk_ref, p))
+                free = (bct if for_T else bcv) == 1
+                a, b, c = build_abc(cls, free, row(adv_ref, p) * inv2h, vis,
+                                    b_int, bc2d=False)
+                a_eff = jnp.where(p == 0, 0.0, a)
+                c_eff = jnp.where(p == n - 1, 0.0, c)
+                denom = b - a_eff * c_prev
+                if exact:
+                    c_new = c_eff / denom
+                    set_row(rbuf, p, denom)
+                else:
+                    r = pl.reciprocal(denom, approx=False)
+                    c_new = c_eff * r
+                    set_row(rbuf, p, r)
+                set_row(cp, p, c_new)
+                return c_new
+
+            chunked(cbody, zero_row)
+
+        def solve_var(v, vis, adv_ref, pk_ref, T_ref, rhs_ref, forc_ref,
+                      tv_ref, dstage, xstage):
+            """d-elimination + backward pass for one variable.  ``forc_ref``:
+            the T-equation forcing slab (read only when v==3); ``tv_ref``:
+            the variable's own temp slab (Dirichlet BC d values).  d' stages
+            into ``dstage``, x into ``xstage`` (both overwritten by the
+            caller's merge)."""
+            def d_body(p, d_prev):
+                cls, bcv, bct = decode_pk(row(pk_ref, p))
+                free = (bct if v == 3 else bcv) == 1
+                interior = cls == INTERIOR
+                a = build_a(cls, free, row(adv_ref, p) * inv2h, vis)
+                a_eff = jnp.where(p == 0, 0.0, a)
+                d_int = row(rhs_ref, p) * inv3dt
+                if v == axis_var:
+                    pp = jnp.minimum(p + 1, n - 1)
+                    pm = jnp.maximum(p - 1, 0)
+                    grad = (row(T_ref, pp) - row(T_ref, pm)) * inv2h
+                    d_int = d_int - v_T * grad
+                elif v == 3:
+                    d_int = d_int + row(forc_ref, p)
+                # BC d: the variable's own temp value (Dirichlet) or 0 (FREE)
+                d_bc = jnp.where(free, 0.0, row(tv_ref, p))
+                d = jnp.where(interior, d_int,
+                              jnp.where((cls == BC0) | (cls == BC1),
+                                        d_bc, 0.0))
+                rr = row(rbuf, p)
+                num = d - d_prev * a_eff
+                d_new = num / rr if exact else num * rr
+                set_row(dstage, p, d_new)
+                return d_new
+
+            chunked(d_body, zero_row)
+
+            def bwd_body(q, x_next):
+                p = n - 1 - q
+                x = row(dstage, p) - row(cp, p) * x_next
+                set_row(xstage, p, x)
+                return x
+
+            chunked(bwd_body, zero_row)
+
+        # ========================== PHASE A: iteration 1 for block b1 == L
+        @pl.when(L == 0)
+        def _():
+            start_shared(0, 0)
+            start_inputs(0, 0, 0)
+            start_inputs(1, 1, 0)
+
+        @pl.when(L + 1 < total)
+        def _():
+            start_shared(L + 1, 1 - bp)
+
+        @pl.when(L >= lag)
+        def _():
+            # early-issue iteration 2's first rhs reads: they hide behind
+            # the whole of phase A
+            start_rhs2(0, b2)
+            start_rhs2(1, b2)
+
+        @pl.when(L < total)
+        def _():
+            wait_shared(bp, L)
+            adv1 = adv_v.at[bp]
+            T1 = T_v.at[bp]
+            pk1 = pkr.at[ring(L, S_P)]
+            rbA = ring(L, S_A)
+            rbB = ring(L, S_B)
+
+            coeff_pass(adv1, pk1, v_vis_h2, for_T=False)
+            for v in range(4):
+                slot = v % 2
+                wait_inputs(v, slot, L)
+                if v == 3:
+                    coeff_pass(adv1, pk1, t_vis_h2, for_T=True)
+                # stage d' into the out1 ring slab, x into the tn1 ring slab
+                dst_o = o1r.at[rbB, v]
+                dst_t = tnA.at[rbA] if v == axis_var else tnB.at[rbB, ch_of[v]]
+                tv1 = adv1 if v == axis_var else (T1 if v == 3
+                                                  else in_buf.at[slot, 2])
+                solve_var(v, t_vis_h2 if v == 3 else v_vis_h2,
+                          adv1, pk1, T1, in_buf.at[slot, 0],
+                          in_buf.at[slot, 2], tv1, dst_o, dst_t)
+                # vectorized UpdateSegment + merge (iteration 1):
+                #   out1 = where(written, x, out_prev); tn1 = avg on NODE_IN
+                for m in range(N_MRG):
+                    sl = mrg_sl(m)
+                    cls, _, _ = decode_pk(pk1[sl])
+                    written = cls != 0.0
+                    is_in = cls == INTERIOR
+                    t_old = tv1[sl]
+                    out_new = jnp.where(written, dst_t[sl],
+                                        in_buf[(slot, 1) + sl])
+                    t_new = jnp.where(is_in, (t_old + out_new) * 0.5, t_old)
+                    dst_o[sl] = out_new
+                    dst_t[sl] = t_new
+                if v + 2 <= 3:
+                    start_inputs(v + 2, slot, L)
+                else:
+                    @pl.when(L + 1 < total)
+                    def _():
+                        start_inputs(v - 2, slot, L + 1)
+
+        # ========================== PHASE B: iteration 2 for block b2
+        @pl.when(b2 >= 0)
+        def _():
+            rbA = ring(b2, S_A)
+            rbB = ring(b2, S_B)
+            adv2 = tnA.at[rbA]
+            pk2 = pkr.at[ring(b2, S_P)]
+            T2 = tnB.at[rbB, ch_of[3]]
+
+            # ---- in-kernel dissipation forcing diss(tn1) for the T eq.
+            # sweep-axis derivatives of all three velocities (resident),
+            # cross-axis derivatives of the axis_var velocity (halo ring)
+            def sw_deriv(src, dst):
+                # dst[p] = (src[p+1] - src[p-1]) * inv2h; chunk edges clamp
+                # (grid-border rows — masked downstream)
+                for m in range(N_MRG):
+                    a = m * n // N_MRG
+                    b = (m + 1) * n // N_MRG
+                    lo = max(a, 1)
+                    hi = min(b, n - 1)
+                    if sweep_axis == 0:
+                        dst[lo:hi] = (src[lo + 1:hi + 1]
+                                      - src[lo - 1:hi - 1]) * inv2h
+                        if a == 0:
+                            dst[0:1] = (src[1:2] - src[0:1]) * inv2h
+                        if b == n:
+                            dst[n - 1:n] = (src[n - 1:n]
+                                            - src[n - 2:n - 1]) * inv2h
+                    else:
+                        dst[:, lo:hi] = (src[:, lo + 1:hi + 1, :]
+                                         - src[:, lo - 1:hi - 1, :]) * inv2h
+                        if a == 0:
+                            dst[:, 0:1] = (src[:, 1:2, :]
+                                           - src[:, 0:1, :]) * inv2h
+                        if b == n:
+                            dst[:, n - 1:n] = (src[:, n - 1:n, :]
+                                               - src[:, n - 2:n - 1, :]) * inv2h
+
+            def ring_slab_A(b):
+                return tnA.at[ring(b, S_A)]
+
+            sw_deriv(tnA.at[rbA], gavs)
+            sw_deriv(tnB.at[rbB, ch_of[o1]], go1s)
+            sw_deriv(tnB.at[rbB, ch_of[o2]], go2s)
+
+            # h1: derivative along the blocked (8-row) dim of adv2, with
+            # the edge rows from the j-neighbor ring slots
+            C = tnA.at[rbA]
+            Pj = ring_slab_A(b2 - c_blocks)
+            Nj = ring_slab_A(b2 + c_blocks)
+            Pc = ring_slab_A(b2 - 1)
+            Nc = ring_slab_A(b2 + 1)
+            for m in range(N_MRG):
+                sl = mrg_sl(m)
+                if sweep_axis == 0:
+                    # slab (n, 8, LANES): j-dim = axis 1, lanes = axis 2
+                    a = m * n // N_MRG
+                    b = (m + 1) * n // N_MRG
+                    r = slice(a, b)
+                    h1s[r, 1:7, :] = (C[r, 2:8, :] - C[r, 0:6, :]) * inv2h_j
+                    h1s[r, 0:1, :] = (C[r, 1:2, :] - Pj[r, 7:8, :]) * inv2h_j
+                    h1s[r, 7:8, :] = (Nj[r, 0:1, :] - C[r, 6:7, :]) * inv2h_j
+                    h2s[r, :, 1:LANES - 1] = (C[r, :, 2:LANES]
+                                              - C[r, :, 0:LANES - 2]) * inv2h_l
+                    h2s[r, :, 0:1] = (C[r, :, 1:2]
+                                      - Pc[r, :, LANES - 1:LANES]) * inv2h_l
+                    h2s[r, :, LANES - 1:LANES] = (Nc[r, :, 0:1]
+                                                  - C[r, :, LANES - 2:LANES - 1]) * inv2h_l
+                else:
+                    # slab (8, n, LANES): j-dim = axis 0, lanes = axis 2
+                    a = m * n // N_MRG
+                    b = (m + 1) * n // N_MRG
+                    r = slice(a, b)
+                    h1s[1:7, r, :] = (C[2:8, r, :] - C[0:6, r, :]) * inv2h_j
+                    h1s[0:1, r, :] = (C[1:2, r, :] - Pj[7:8, r, :]) * inv2h_j
+                    h1s[7:8, r, :] = (Nj[0:1, r, :] - C[6:7, r, :]) * inv2h_j
+                    h2s[:, r, 1:LANES - 1] = (C[:, r, 2:LANES]
+                                              - C[:, r, 0:LANES - 2]) * inv2h_l
+                    h2s[:, r, 0:1] = (C[:, r, 1:2]
+                                      - Pc[:, r, LANES - 1:LANES]) * inv2h_l
+                    h2s[:, r, LANES - 1:LANES] = (Nc[:, r, 0:1]
+                                                  - C[:, r, LANES - 2:LANES - 1]) * inv2h_l
+
+            # forcing = t_phi * diss, term order mirrors ops/stencil.py
+            # (diss_x/diss_y/diss_z_3d) for bitwise agreement with the
+            # XLA-compiled scan path
+            for m in range(N_MRG):
+                sl = mrg_sl(m)
+                gav = gavs[sl]
+                go1 = go1s[sl]
+                go2 = go2s[sl]
+                if axis_var == 0:
+                    diss = (2 * gav * gav + go1 * go1 + go2 * go2
+                            + go1 * h1s[sl] + go2 * h2s[sl])
+                elif axis_var == 1:
+                    diss = (go1 * go1 + 2 * gav * gav + go2 * go2
+                            + go1 * h1s[sl] + go2 * h2s[sl])
+                else:
+                    diss = (go1 * go1 + go2 * go2 + 2 * gav * gav
+                            + go1 * h1s[sl] + go2 * h2s[sl])
+                f2s[sl] = t_phi * diss
+
+            # ---- solve the four systems of iteration 2
+            coeff_pass(adv2, pk2, v_vis_h2, for_T=False)
+            for v in range(4):
+                slot = v % 2
+                wait_rhs2(v, b2)
+                if v >= 2:
+                    pltpu.make_async_copy(out_buf.at[slot],
+                                          slab4(out_hbm, v - 2, b2),
+                                          out_sems.at[slot, 0]).wait()
+                    pltpu.make_async_copy(tn_buf.at[slot],
+                                          slab4(tn_hbm, v - 2, b2),
+                                          out_sems.at[slot, 1]).wait()
+                else:
+                    @pl.when(b2 > 0)
+                    def _():
+                        pltpu.make_async_copy(out_buf.at[slot],
+                                              slab4(out_hbm, v + 2, b2 - 1),
+                                              out_sems.at[slot, 0]).wait()
+                        pltpu.make_async_copy(tn_buf.at[slot],
+                                              slab4(tn_hbm, v + 2, b2 - 1),
+                                              out_sems.at[slot, 1]).wait()
+                if v == 3:
+                    coeff_pass(adv2, pk2, t_vis_h2, for_T=True)
+                tv2 = (adv2 if v == axis_var
+                       else (T2 if v == 3 else tnB.at[rbB, ch_of[v]]))
+                solve_var(v, t_vis_h2 if v == 3 else v_vis_h2,
+                          adv2, pk2, T2, rhs2_v.at[slot], f2s, tv2,
+                          out_buf.at[slot], tn_buf.at[slot])
+                if v + 2 <= 3:
+                    start_rhs2(v + 2, b2)
+                # (the next block's rhs2 v=0/1 are early-issued at the top
+                # of the next grid step, hidden behind its phase A)
+                # iteration-2 merge against the resident iteration-1 layers
+                for m in range(N_MRG):
+                    sl = mrg_sl(m)
+                    cls, _, _ = decode_pk(pk2[sl])
+                    written = cls != 0.0
+                    is_in = cls == INTERIOR
+                    t_old = tv2[sl]
+                    out_new = jnp.where(written, tn_buf[(slot,) + sl],
+                                        o1r[(rbB, v) + sl])
+                    t_new = jnp.where(is_in, (t_old + out_new) * 0.5, t_old)
+                    out_buf[(slot,) + sl] = out_new
+                    tn_buf[(slot,) + sl] = t_new
+                pltpu.make_async_copy(out_buf.at[slot],
+                                      slab4(out_hbm, v, b2),
+                                      out_sems.at[slot, 0]).start()
+                pltpu.make_async_copy(tn_buf.at[slot],
+                                      slab4(tn_hbm, v, b2),
+                                      out_sems.at[slot, 1]).start()
+
+        @pl.when(L == total + lag - 1)
+        def _():
+            for v in (2, 3):
+                pltpu.make_async_copy(out_buf.at[v % 2],
+                                      slab4(out_hbm, v, total - 1),
+                                      out_sems.at[v % 2, 0]).wait()
+                pltpu.make_async_copy(tn_buf.at[v % 2],
+                                      slab4(tn_hbm, v, total - 1),
+                                      out_sems.at[v % 2, 1]).wait()
+
+    return body
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("sweep_axis", "axis_var", "exact"))
+def fused_sweep_nl(temp4, cls, bcv, bct, rhs4, out_prev4, forcing, scal,
+                   sweep_axis: int, axis_var: int, exact: bool = True):
+    """Two fused local iterations; returns (out2_4, temp2_4).
+
+    Arguments as pallas_sweep_stream.fused_sweep_stream, except scal is
+    (8,) f32 = [v_vis_h2, t_vis_h2, 3/dt, 1/(2h_sweep), v_T, t_phi,
+    1/(2h_jdim), 1/(2h_lane)] — the last two are the cross-axis derivative
+    scales of the in-kernel dissipation (j-dim = the blocked 8-row slab
+    dim, lane = the 128-lane slab dim, in the KERNEL's possibly-swapped
+    layout).  ``forcing`` is iteration 1's t_phi*diss(temp) (XLA-side, as
+    for the stream kernel); iteration 2's is recomputed in-kernel.
+    """
+    _, A, B, C = temp4.shape
+    Cp = _ceil_to(C, LANES)
+    Ap = _ceil_to(A, S_TILE)
+    Bp = _ceil_to(B, S_TILE)
+    n = (Ap, Bp)[sweep_axis]
+    assert n <= MAX_SWEEP, (n, MAX_SWEEP)
+
+    def pad3(x):
+        return jnp.pad(x, ((0, Ap - A), (0, Bp - B), (0, Cp - C)))
+
+    def pad4(x):
+        return jnp.pad(x, ((0, 0), (0, Ap - A), (0, Bp - B), (0, Cp - C)))
+
+    tp4 = pad4(temp4)
+    pkp = pad3(pack_masks(cls, bcv, bct))
+    rp4 = pad4(rhs4)
+    op4 = pad4(out_prev4)
+    fp = pad3(forcing)
+
+    slab = (Ap, S_TILE, LANES) if sweep_axis == 0 else (S_TILE, Bp, LANES)
+    n_blocks = (Bp if sweep_axis == 0 else Ap) // S_TILE
+    c_blocks = Cp // LANES
+    S_A = 2 * c_blocks + 1
+    S_B = c_blocks + 1
+    S_P = c_blocks + 2
+    f32 = jnp.float32
+
+    import math
+    slab_bytes = math.prod(slab) * 4
+    # adv/T parity pairs 4, in_buf 6, rhs2 2, rings S_A + 3*S_B(tnB) +
+    # 4*S_B(out1) + S_P(pk), out/tn bufs 4, cp/rbuf 2, diss scratch 6
+    scratch_slabs = (4 + 6 + 2 + S_A + 7 * S_B + S_P + 4 + 2 + 6)
+    vmem_need = scratch_slabs * slab_bytes
+
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    out, tn = pl.pallas_call(
+        _make_kernel(n, sweep_axis, axis_var, exact, c_blocks, n_blocks),
+        grid=(n_blocks * c_blocks + c_blocks,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [any_spec] * 5,
+        out_specs=(any_spec, any_spec),
+        out_shape=(jax.ShapeDtypeStruct((4, Ap, Bp, Cp), f32),
+                   jax.ShapeDtypeStruct((4, Ap, Bp, Cp), f32)),
+        input_output_aliases={4: 0},    # out_prev buffer IS the output layer
+        scratch_shapes=[
+            pltpu.VMEM((2,) + slab, f32),          # adv1 (block parity)
+            pltpu.VMEM((2,) + slab, f32),          # T1
+            pltpu.VMEM((2, 3) + slab, f32),        # iter-1 rhs|op|aux
+            pltpu.VMEM((2,) + slab, f32),          # iter-2 rhs stream
+            pltpu.VMEM((S_A,) + slab, f32),        # tn1[axis_var] halo ring
+            pltpu.VMEM((S_B, 3) + slab, f32),      # tn1 other-vars ring
+            pltpu.VMEM((S_B, 4) + slab, f32),      # out1 ring
+            pltpu.VMEM((S_P,) + slab, f32),        # pk ring
+            pltpu.VMEM((2,) + slab, f32),          # out2 DMA buffers
+            pltpu.VMEM((2,) + slab, f32),          # tn2 DMA buffers
+            pltpu.VMEM(slab, f32),                 # c' line
+            pltpu.VMEM(slab, f32),                 # denom / 1/denom line
+            pltpu.VMEM(slab, f32),                 # h1 (j-dim deriv)
+            pltpu.VMEM(slab, f32),                 # h2 (lane deriv)
+            pltpu.VMEM(slab, f32),                 # gav sweep-deriv
+            pltpu.VMEM(slab, f32),                 # go1
+            pltpu.VMEM(slab, f32),                 # go2
+            pltpu.VMEM(slab, f32),                 # forcing2
+            pltpu.SemaphoreType.DMA((2, 3)),       # sh_sems [par, adv|T|pk]
+            pltpu.SemaphoreType.DMA((2, 3)),       # in_sems
+            pltpu.SemaphoreType.DMA((2,)),         # rhs2_sems
+            pltpu.SemaphoreType.DMA((2, 2)),       # out_sems
+        ],
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            vmem_limit_bytes=min(110 * 1024 * 1024,
+                                 max(48 * 1024 * 1024,
+                                     int(vmem_need * 1.3)))),
+        interpret=(jax.default_backend() != "tpu"),
+    )(scal, tp4, pkp, rp4, op4, fp)
+
+    return out[:, :A, :B, :C], tn[:, :A, :B, :C]

@@ -19,7 +19,7 @@ def _setup():
 
 
 @pytest.mark.parametrize("backend", ["fused", "fused_dma", "fused_merge",
-                                     "fused_full"])
+                                     "fused_full", "fused_nl"])
 def test_backend_matches_scan(backend):
     adi3d, ga, cur, pa, merge_ok = _setup()
     dt = jnp.float32(0.01)
