@@ -63,7 +63,7 @@ def run_bench_2d(n: int = 1024, steps: int = 50, backend: str = "auto",
 
 
 def run_bench(size_dx: float = 0.00409, steps: int = 10, warmup: int = 2,
-              backend: str = "fused_full", num_global: int = 4, num_local: int = 2,
+              backend: str = "fused_nl", num_global: int = 4, num_local: int = 2,
               exact: bool = False):
     import jax
     import jax.numpy as jnp
@@ -131,7 +131,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--dx", type=float, default=0.00409)
-    ap.add_argument("--backend", default="fused_full")
+    ap.add_argument("--backend", default="fused_nl")
     ap.add_argument("--case", default="3d", choices=["3d", "3d384", "2d1024"])
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args()

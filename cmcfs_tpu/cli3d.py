@@ -3,9 +3,11 @@
 Usage (mirrors reference src/FluidSolver3D/FluidSolver3D.cpp:26-51):
     fluidsolver3d <input> <output_base> <config> [flags]
 
-Flags: ``align``, ``CSV``, ``backend scan|pallas``, ``quiet``,
+Flags: ``align``, ``CSV``, ``backend scan|pallas|fused...``, ``quiet``,
 ``dump_grid`` (BMP slice stack of the mask, like the reference's
-OutputImage — off by default to keep runs lean).
+OutputImage — off by default to keep runs lean), ``profile``
+(per-direction event table — the reference's PROFILE_ENABLE mode with
+CopyLayer/SolveSegments_X|Y|Z/MergeLayer/EvalDivError events).
 Multi-accelerator flags (reference FluidSolver3D.cpp:26-51 grammar):
 ``GPU [n]`` / ``shards N`` — an N-device "x" mesh (cmcfs_tpu.parallel)
 with GSPMD halo exchange and the resharded X sweep; ``blocking [nBlockZ]``
@@ -88,7 +90,7 @@ def run_case(input_path: str, output_base: str, config_path: str,
              max_steps: int | None = None, collect_errs: bool = False,
              checkpoint: str | None = None, resume: str | None = None,
              shards: int = 1, nblockz: int = 0, balance: str | None = None,
-             orbax: bool = False):
+             orbax: bool = False, profile: bool = False):
     cfg = Config.load(config_path)
     if cfg.use_normalized_params:
         params = FluidParams.normalized(cfg.Re, cfg.Pr, cfg.lam)
@@ -180,8 +182,15 @@ def run_case(input_path: str, output_base: str, config_path: str,
         with prof.section("UpdateBoundaries"):
             solver.update_boundaries()
         compute_err = (i % 10 == 0) or (t + dt >= finaltime)
-        with prof.section("TimeStep"):
-            solver.time_step(dt, cfg.num_global, cfg.num_local, compute_err)
+        if profile:
+            # per-direction event table (reference PROFILE_ENABLE mode,
+            # Profiler.h:44-134): each direction-solve is its own dispatch
+            solver.time_step_profiled(dt, cfg.num_global, cfg.num_local,
+                                      prof)
+        else:
+            with prof.section("TimeStep"):
+                solver.time_step(dt, cfg.num_global, cfg.num_local,
+                                 compute_err)
         if collect_errs:
             errs.append(solver.last_err)
         timer.stop()
@@ -233,7 +242,7 @@ def run_case(input_path: str, output_base: str, config_path: str,
 def main(argv=None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     flags = {"align": False, "CSV": False, "quiet": False, "dump_grid": False,
-             "orbax": False}
+             "orbax": False, "profile": False}
     backend = "auto"
     extras = {}
     rest = []
@@ -281,7 +290,8 @@ def main(argv=None) -> int:
              checkpoint=extras.get("checkpoint"), resume=extras.get("resume"),
              shards=int(extras.get("shards", 1)),
              nblockz=int(extras.get("nblockz", 0)),
-             balance=extras.get("balance"), orbax=flags["orbax"])
+             balance=extras.get("balance"), orbax=flags["orbax"],
+             profile=flags["profile"])
     return 0
 
 

@@ -89,11 +89,12 @@ def _build_and_solve(axis: int, cur: State2D, temp_local: State2D,
     d_v = cur.v / dt - (pa.v_T * grad_T if axis == 1 else 0.0)
     d_T = cur.T / dt + pa.t_phi * diss
 
-    if backend in ("fused", "fused_dma", "fused_full", "fused_bf16"):
+    if backend in ("fused", "fused_dma", "fused_full", "fused_bf16",
+                   "fused_nl"):
         # the 3D fused build+solve kernels run the 2D system too (3 vars,
-        # "fused_full" is accepted as an alias of the manual-DMA path — 2D
-        # has no stream kernel, so the 3D default name must not silently
-        # fall to the generic rows path here;
+        # "fused_full"/"fused_nl" are accepted as aliases of the manual-DMA
+        # path — 2D has no stream kernel, so the 3D default names must not
+        # silently fall to the generic rows path here;
         # 2D boundary rows): lines go on the kernel's sweep axis 0, the
         # batch dimension splits into (sublane-tiles, 128 lanes)
         from ..core.types import BCtype

@@ -452,6 +452,86 @@ def _solve_direction_3d(axis: int, rhs: State3D, temp: State3D, out_layer: State
     return temp, out
 
 
+@functools.partial(jax.jit, static_argnames=("axis", "num_local", "backend",
+                                             "exact", "merge_ok"))
+def _profiled_dir(axis, rhs, temp, out, ga, dt, num_local, pa, backend,
+                  exact, merge_ok):
+    return _solve_direction_3d(axis, rhs, temp, out, ga, dt, num_local, pa,
+                               backend, exact, None, merge_ok)
+
+
+@jax.jit
+def _profiled_seed(cur: State3D, nxt_prev: State3D, types):
+    is_bv = (types == NodeType.BOUND) | (types == NodeType.VALVE)
+    return State3D(*(jnp.where(is_bv, c, n) for c, n in zip(cur, nxt_prev)))
+
+
+@jax.jit
+def _profiled_gmerge(temp: State3D, nxt: State3D, types):
+    is_in = types == NodeType.IN
+    return State3D(*(jnp.where(is_in, (t + n) / 2.0, t)
+                     for t, n in zip(temp, nxt)))
+
+
+@jax.jit
+def _profiled_err(nxt: State3D, types, pa: ParamsArgs3D):
+    return stencil.div_error_3d(nxt.u, nxt.v, nxt.w, types,
+                                pa.dx, pa.dy, pa.dz)
+
+
+def adi_timestep_3d_profiled(cur: State3D, nxt_prev: State3D,
+                             ga: GridArrays3D, dt, num_global: int,
+                             num_local: int, pa: ParamsArgs3D, prof,
+                             backend: str = "auto", exact: bool = True,
+                             merge_ok: tuple = (False, False, False)):
+    """Diagnostic variant of adi_timestep_3d: every direction-solve is its
+    own dispatch, timed into ``prof`` under the reference's event names
+    (CopyLayer, SolveSegments_Z/Y/X, MergeLayer, EvalDivError —
+    src/Common/Profiler.h:44-134, AdiSolver3D.cpp:297-301, 606-632).
+
+    Each section ends with a forced scalar fetch (the only reliable device
+    sync through the axon tunnel), so per-event times attribute correctly
+    at the cost of one round-trip per section — the same trade the
+    reference makes with its per-event MPI_Barrier.  Single-chip only;
+    numbers differ slightly from the fused single-jit step (no
+    cross-direction XLA fusion, per-call tile padding), so use this to
+    ATTRIBUTE time, and bench.py to measure totals.
+    """
+    if backend == "auto":
+        backend = ("fused_nl" if jax.default_backend() == "tpu" else "scan")
+    if backend == "fused_merge":
+        backend = "fused_full"
+
+    def fetch(state):
+        float(jnp.sum(state.u))
+
+    with prof.section("CopyLayer"):
+        nxt = _profiled_seed(cur, nxt_prev, ga.types)
+        fetch(nxt)
+    temp = cur
+    half = State3D(*(jnp.zeros_like(f) for f in cur))
+    for _ in range(num_global):
+        with prof.section("SolveSegments_Z"):
+            temp, nxt = _profiled_dir(2, cur, temp, nxt, ga, dt, num_local,
+                                      pa, backend, exact, merge_ok[2])
+            fetch(temp)
+        with prof.section("SolveSegments_Y"):
+            temp, half = _profiled_dir(1, nxt, temp, half, ga, dt, num_local,
+                                       pa, backend, exact, merge_ok[1])
+            fetch(temp)
+        with prof.section("SolveSegments_X"):
+            temp, nxt = _profiled_dir(0, half, temp, nxt, ga, dt, num_local,
+                                      pa, backend, exact, merge_ok[0])
+            fetch(temp)
+        with prof.section("MergeLayer"):
+            temp = _profiled_gmerge(temp, nxt, ga.types)
+            fetch(temp)
+    with prof.section("EvalDivError"):
+        err = _profiled_err(nxt, ga.types, pa)
+        err = float(err)
+    return nxt, err
+
+
 @functools.partial(jax.jit,
                    static_argnames=("num_global", "num_local", "backend",
                                     "exact", "compute_error", "plan",

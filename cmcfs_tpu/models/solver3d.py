@@ -24,12 +24,13 @@ class AdiSolver3D:
     def __init__(self, backend: str = "auto", exact: bool = True):
         if backend == "auto":
             import jax
-            # full-fusion streamed sweeps on TPU (in-kernel RHS build +
-            # UpdateSegment + merge, ops/pallas_sweep_stream.py — measured
-            # +4.5% over fused_dma at 256^3 once cross-block pipelined; it
-            # self-degrades to the fused_dma path wherever its guarantees
-            # fail: duals, sharding, long lines); exact-order scan elsewhere
-            backend = ("fused_full" if jax.default_backend() == "tpu"
+            # num_local-fused streamed sweeps on TPU (two local iterations
+            # per kernel invocation, ops/pallas_sweep_nl.py — bitwise vs
+            # fused_full and +14.5% at 256^3 ng=4 nl=2, RESULTS.md round 3;
+            # it self-degrades to the per-iteration stream kernel at nl<2 /
+            # under a mesh, and further to fused_dma wherever the stream
+            # guarantees fail: duals, long lines); exact-order scan elsewhere
+            backend = ("fused_nl" if jax.default_backend() == "tpu"
                        else "scan")
         self.backend = backend
         self.exact = exact
@@ -128,6 +129,25 @@ class AdiSolver3D:
             if not (self.last_err <= adi3d.ERR_THRESHOLD):   # NaN-safe
                 raise SolverError(f"Error is too big! {self.last_err}")
         # pointer swap (AdiSolver3D.cpp:387-390)
+        self.next = self.cur
+        self.cur = nxt
+
+    def time_step_profiled(self, dt: float, num_global: int, num_local: int,
+                           prof) -> None:
+        """Per-direction profiled step (reference per-event table,
+        Profiler.h:44-134): each direction-solve is its own dispatch timed
+        into ``prof``.  Single-chip diagnostic mode."""
+        if self.plan is not None:
+            raise SolverError("profiled mode is single-chip (run without "
+                              "shards)")
+        nxt, err = adi3d.adi_timestep_3d_profiled(
+            self.cur, self.next, self.ga, jnp.float32(dt), num_global,
+            num_local, self.pa, prof, backend=self.backend,
+            exact=self.exact,
+            merge_ok=getattr(self, "merge_ok", (False, False, False)))
+        self.last_err = err
+        if not (self.last_err <= adi3d.ERR_THRESHOLD):   # NaN-safe
+            raise SolverError(f"Error is too big! {self.last_err}")
         self.next = self.cur
         self.cur = nxt
 

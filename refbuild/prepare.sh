@@ -46,6 +46,22 @@ sed -e 's/time_steps \t100/time_steps \t10/' \
     /root/reference/data/3D/example_tests/white_sea/white_sea_config.txt \
   | tr -d '\r' > cases/white_sea.txt
 
+# full-size white_sea (large_tests: 2x finer grid, 150x100x100 out), cut
+# from 5000 steps to 4
+sed -e 's/time_steps \t5000/time_steps \t4/' -e 's/out_time_steps \t250/out_time_steps \t1/' \
+    /root/reference/data/3D/large_tests/white_sea/white_sea_config.txt \
+  | tr -d '\r' > cases/white_sea_large.txt
+
+# heart_us animated 3D mesh (large_tests): the shipped config lacks
+# out_vars (the reference exits without it) and frame_time (Shape3D cycle
+# length = frame_time, Grid3D.cpp:303-309 — unset means zero steps), and
+# uses the unrecognized calc_subframes key (-> default time_steps 50);
+# pin an explicit 46-step cycle with per-2-step records
+tr -d '\r' < /root/reference/data/3D/large_tests/heart_us/heart_us_3D_data.txt > data/heart_us_3D_data.txt
+{ tr -d '\r' < /root/reference/data/3D/large_tests/heart_us/heart_us_3D_config.txt;
+  printf '\nout_vars\t4 u v w T\nframe_time\t1.0\ntime_steps\t1\nout_time_steps\t2\n'; } \
+  > cases/heart_us_3d.txt
+
 # non_uniform_pipe: shipped only as 2D data + config for the extruded run
 sed -e 's/time_steps\t100/time_steps\t10/' \
     /root/reference/data/3D/example_tests/non_uniform_pipe/non_uniform_pipe_2D_config.txt \

@@ -83,3 +83,28 @@ def test_bf16_horizon_guardrail():
     assert bf16_horizon_warning("fused_bf16", 10) is None
     assert bf16_horizon_warning("fused_full", 100000) is None
     assert bf16_horizon_warning("scan", 100000) is None
+
+
+def test_profiled_step_matches_plain():
+    """The per-direction profiled step (reference event table,
+    Profiler.h:44-134) must produce the same state as the fused one-jit
+    step and record every reference event name."""
+    import jax.numpy as jnp
+    from cmcfs_tpu.utils.profiler import Profiler
+
+    adi3d, ga, cur, pa, merge_ok = _setup()
+    dt = jnp.float32(0.01)
+    ref, e0 = adi3d.adi_timestep_3d(cur, cur, ga, dt, 2, 2, pa,
+                                    backend="scan", exact=True,
+                                    compute_error=True, merge_ok=merge_ok)
+    prof = Profiler(sync=False)
+    out, e1 = adi3d.adi_timestep_3d_profiled(cur, cur, ga, dt, 2, 2, pa,
+                                             prof, backend="scan",
+                                             exact=True, merge_ok=merge_ok)
+    for r, o in zip(ref, out):
+        np.testing.assert_array_equal(np.asarray(o), np.asarray(r))
+    assert abs(float(e0) - e1) < 1e-12
+    for name in ("CopyLayer", "SolveSegments_Z", "SolveSegments_Y",
+                 "SolveSegments_X", "MergeLayer", "EvalDivError"):
+        assert name in prof.events, name
+    assert prof.events["SolveSegments_X"].count == 2
