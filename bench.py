@@ -32,6 +32,7 @@ def run_bench_2d(n: int = 1024, steps: int = 50, backend: str = "auto",
 
     g = lid_cavity_2d(n, n, dx=0.001)
     ga = grid_arrays(g)
+    stream_ok = adi2d.stream_ok_2d(ga)
     cur = init_state(g)
     p = FluidParams.physical(0.05, 1000.0, 461.495, 0.6, 4200.0)
     pa = adi2d.ParamsArgs(*[jnp.float32(x) for x in
@@ -41,7 +42,7 @@ def run_bench_2d(n: int = 1024, steps: int = 50, backend: str = "auto",
     def one(state, _):
         new, err, _it = adi2d.adi_timestep_2d(state, ga, dt, jnp.int32(num_global),
                                               num_local, pa, backend=backend,
-                                              exact=exact)
+                                              exact=exact, stream_ok=stream_ok)
         return new, err
 
     import functools

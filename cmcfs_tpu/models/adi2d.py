@@ -148,11 +148,98 @@ def _build_and_solve(axis: int, cur: State2D, temp_local: State2D,
     return State2D(u=x[0], v=x[1], T=x[2])
 
 
+def stream_ok_2d(ga: GridArrays2D) -> tuple:
+    """Host-side precondition for the 2D stream-fused path, per axis:
+    BC rows must sit on BOUND/VALVE cells (so temp carries the Dirichlet
+    values — the UpdateBoundaries invariant) and interior rows must
+    coincide with NODE_IN (the in-kernel copy/merge is IN-masked)."""
+    import numpy as np
+    types = np.asarray(ga.types)
+    is_in = types == NodeType.IN
+    is_bv = (types == NodeType.BOUND) | (types == NodeType.VALVE)
+    oks = []
+    for cls in (ga.cls_x, ga.cls_y):
+        c = np.asarray(cls)
+        bc = (c == BC0) | (c == BC1)
+        oks.append(bool(is_bv[bc].all() and ((c == INTERIOR) == is_in).all()))
+    return tuple(oks)
+
+
+def _kernel_layout_2d(axis: int, arrs):
+    """(X, Y) field arrays -> kernel layout (n_sweep, b_tiles, 128): lines
+    on sweep-axis 0 (the Y direction transposes first), batch padded to the
+    lane tile (padded cells are identity rows)."""
+    if axis == 1:
+        arrs = [jnp.swapaxes(m, 0, 1) for m in arrs]
+    n_sweep, batch = arrs[0].shape
+    bp = -(-batch // 128) * 128
+    return [jnp.pad(m, ((0, 0), (0, bp - batch))).reshape(
+                n_sweep, bp // 128, 128) for m in arrs], batch
+
+
+def _solve_stream_2d(axis: int, rhs: State2D, temp_local: State2D,
+                     out: State2D, ga: GridArrays2D, dt, pa: ParamsArgs,
+                     exact: bool, first: bool):
+    """2D full fusion: in-kernel RHS build + solve + copy-then-merge
+    (ops/pallas_sweep_stream.py merge2d mode) — no XLA-side RHS fold or
+    merge passes.  Caller guarantees (stream_ok): BC rows sit on
+    BOUND/VALVE cells (so temp carries the Dirichlet values — the
+    UpdateBoundaries invariant) and interior rows == NODE_IN."""
+    from ..ops.pallas_sweep_stream import fused_sweep_stream
+    h = pa.dx if axis == 0 else pa.dy
+    if axis == 0:
+        diss = stencil.diss_x_2d(temp_local.u, temp_local.v, pa.dx, pa.dy)
+    else:
+        diss = stencil.diss_y_2d(temp_local.u, temp_local.v, pa.dx, pa.dy)
+    forcing = pa.t_phi * diss
+    scal = jnp.stack([pa.v_vis / (h * h), pa.t_vis / (h * h), 1.0 / dt,
+                      1.0 / (2.0 * h), pa.v_T])
+    cls = ga.cls_x if axis == 0 else ga.cls_y
+    arrs, batch = _kernel_layout_2d(
+        axis, [cls, ga.bct] + list(temp_local) + list(rhs) + list(out)
+        + [forcing])
+    clsr, bctr = arrs[0], arrs[1]
+    t3 = jnp.stack(arrs[2:5])
+    r3 = jnp.stack(arrs[5:8])
+    o3 = jnp.stack(arrs[8:11])
+    forcr = arrs[11]
+    o4, t4 = fused_sweep_stream(t3, clsr, bctr, bctr, r3, o3, forcr, scal,
+                                sweep_axis=0, axis_var=axis, exact=exact,
+                                t_var=2, bc2d=True, merge2d=True,
+                                first=first)
+
+    def back(m4):
+        n_sweep = m4.shape[1]
+        m = m4.reshape(3, n_sweep, -1)[:, :, :batch]
+        return jnp.swapaxes(m, 1, 2) if axis == 1 else m
+
+    o4, t4 = back(o4), back(t4)
+    return (State2D(t4[0], t4[1], t4[2]), State2D(o4[0], o4[1], o4[2]))
+
+
+def _stream2d_fits(n_sweep: int) -> bool:
+    from ..ops.pallas_sweep_stream import stream_vmem_need
+    from ..ops.sweep_common import ceil_to
+    return stream_vmem_need(ceil_to(n_sweep, 8)) < 100 * 2 ** 20
+
+
 def _solve_direction(axis: int, rhs: State2D, temp: State2D, out_layer: State2D,
                      ga: GridArrays2D, dt, num_local: int, pa: ParamsArgs,
-                     backend: str, exact: bool):
+                     backend: str, exact: bool,
+                     stream_ok: tuple = (False, False)):
     """Reference SolveDirection (AdiSolver2D.cpp:203-226)."""
     is_in = ga.types == NodeType.IN
+
+    if (backend in ("fused_full", "fused_nl") and stream_ok[axis]
+            and _stream2d_fits(rhs.u.shape[axis])):
+        temp_local, out = temp, out_layer
+        for it in range(num_local):
+            temp_local, out = _solve_stream_2d(axis, rhs, temp_local, out,
+                                               ga, dt, pa, exact,
+                                               first=(it == 0))
+        # temp_local/out only differ from temp/out_layer on IN cells, so
+        # the trailing temp_out/next_out masking is already folded in
+        return temp_local, out
 
     def merge(dst: State2D, src: State2D, first: bool) -> State2D:
         if first:
@@ -170,9 +257,11 @@ def _solve_direction(axis: int, rhs: State2D, temp: State2D, out_layer: State2D,
     return temp_out, next_out
 
 
-@functools.partial(jax.jit, static_argnames=("num_local", "backend", "exact"))
+@functools.partial(jax.jit, static_argnames=("num_local", "backend", "exact",
+                                             "stream_ok"))
 def adi_timestep_2d(cur: State2D, ga: GridArrays2D, dt, num_global, num_local: int,
-                    pa: ParamsArgs, backend: str = "auto", exact: bool = True):
+                    pa: ParamsArgs, backend: str = "auto", exact: bool = True,
+                    stream_ok: tuple = (False, False)):
     """One reference TimeStep (AdiSolver2D.cpp:279-323).
 
     Returns (new_cur, err, iters).  The global loop is a lax.while_loop with
@@ -193,9 +282,9 @@ def adi_timestep_2d(cur: State2D, ga: GridArrays2D, dt, num_global, num_local: i
     def body(carry):
         it, err, temp, half, nxt = carry
         temp, half = _solve_direction(0, cur, temp, half, ga, dt, num_local, pa,
-                                      backend, exact)
+                                      backend, exact, stream_ok)
         temp, nxt = _solve_direction(1, half, temp, nxt, ga, dt, num_local, pa,
-                                     backend, exact)
+                                     backend, exact, stream_ok)
         err = stencil.div_error_2d(nxt.u, nxt.v, ga.types, pa.dx, pa.dy)
         # copy on first global iteration, merge-average afterwards (:300-301)
         temp = State2D(*(jnp.where(is_in,

@@ -37,6 +37,7 @@ class Solver2DBase:
         self.grid = grid
         self.params = params
         self.ga = grid_arrays(grid)
+        self.stream_ok = adi2d.stream_ok_2d(self.ga)
         self.cur = init_state(grid)
         self.next = self.cur
         f32 = jnp.float32
@@ -48,6 +49,7 @@ class Solver2DBase:
     def refresh_grid(self) -> None:
         """Re-upload grid arrays after a host-side Prepare() rebuild."""
         self.ga = grid_arrays(self.grid)
+        self.stream_ok = adi2d.stream_ok_2d(self.ga)
 
     def update_boundaries(self) -> None:
         self.cur = update_boundaries(self.cur, self.ga)
@@ -91,7 +93,8 @@ class AdiSolver2D(Solver2DBase):
     def time_step(self, dt: float, num_global: int, num_local: int) -> None:
         nxt, err, it = adi2d.adi_timestep_2d(
             self.cur, self.ga, jnp.float32(dt), jnp.int32(num_global), num_local,
-            self.pa, backend=self.backend, exact=self.exact)
+            self.pa, backend=self.backend, exact=self.exact,
+            stream_ok=getattr(self, "stream_ok", (False, False)))
         self.last_err = float(err)
         self.last_iters = int(it)
         self._check(self.last_err, self.last_iters, adi2d.ERR_THRESHOLD)

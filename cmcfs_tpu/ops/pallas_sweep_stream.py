@@ -58,7 +58,8 @@ from .sweep_common import (LANES, S_TILE, build_a, build_abc,
 MAX_SWEEP = 256
 
 
-def _make_kernel(n, sweep_axis, axis_var, exact, c_blocks, bf16=False):
+def _make_kernel(n, sweep_axis, axis_var, exact, c_blocks, bf16=False,
+                 nvars=4, t_var=3, bc2d=False, merge2d=False, first=False):
     row, set_row = make_row_ops(sweep_axis)
 
     # streamed-input layout: in_buf[slot, 0]=rhs_v, [slot, 1]=out_prev_v,
@@ -133,7 +134,7 @@ def _make_kernel(n, sweep_axis, axis_var, exact, c_blocks, bf16=False):
             pltpu.make_async_copy(slab4(op_hbm, v, jj, cc),
                                   op_dma_ref(slot),
                                   in_sems.at[slot, 1]).start()
-            if v == 3:
+            if v == t_var:
                 pltpu.make_async_copy(slab3(forc_hbm, jj, cc),
                                       aux_dma_ref(slot),
                                       in_sems.at[slot, 2]).start()
@@ -148,14 +149,15 @@ def _make_kernel(n, sweep_axis, axis_var, exact, c_blocks, bf16=False):
             pltpu.make_async_copy(slab4(op_hbm, v), op_dma_ref(slot),
                                   in_sems.at[slot, 1]).wait()
             if v != axis_var:
-                src = slab3(forc_hbm) if v == 3 else slab4(temp_hbm, v)
+                src = (slab3(forc_hbm) if v == t_var
+                       else slab4(temp_hbm, v))
                 pltpu.make_async_copy(src, aux_dma_ref(slot),
                                       in_sems.at[slot, 2]).wait()
 
         def start_shared(par, jj, cc):
             pltpu.make_async_copy(slab4(temp_hbm, axis_var, jj, cc),
                                   adv_v.at[par], sh_sems.at[par, 0]).start()
-            pltpu.make_async_copy(slab4(temp_hbm, 3, jj, cc),
+            pltpu.make_async_copy(slab4(temp_hbm, t_var, jj, cc),
                                   T_v.at[par], sh_sems.at[par, 1]).start()
             pltpu.make_async_copy(slab3(pk_hbm, jj, cc),
                                   pk_v.at[par], sh_sems.at[par, 2]).start()
@@ -172,7 +174,7 @@ def _make_kernel(n, sweep_axis, axis_var, exact, c_blocks, bf16=False):
 
         pltpu.make_async_copy(slab4(temp_hbm, axis_var), adv_v.at[bp],
                               sh_sems.at[bp, 0]).wait()
-        pltpu.make_async_copy(slab4(temp_hbm, 3), T_v.at[bp],
+        pltpu.make_async_copy(slab4(temp_hbm, t_var), T_v.at[bp],
                               sh_sems.at[bp, 1]).wait()
         pltpu.make_async_copy(slab3(pk_hbm), pk_v.at[bp],
                               sh_sems.at[bp, 2]).wait()
@@ -196,7 +198,7 @@ def _make_kernel(n, sweep_axis, axis_var, exact, c_blocks, bf16=False):
             return decode_pk(row(pk_b, p))
 
         def a_eff_row(p, cls, free, vis):
-            a = build_a(cls, free, row(adv_b, p) * inv2h, vis)
+            a = build_a(cls, free, row(adv_b, p) * inv2h, vis, bc2d=bc2d)
             return jnp.where(p == 0, 0.0, a)
 
         def coeff_pass(vis, for_T):
@@ -212,7 +214,7 @@ def _make_kernel(n, sweep_axis, axis_var, exact, c_blocks, bf16=False):
                 cls, bcv, bct = decode(p)
                 free = (bct if for_T else bcv) == 1
                 a, b, c = build_abc(cls, free, row(adv_b, p) * inv2h, vis,
-                                    b_int, bc2d=False)
+                                    b_int, bc2d=bc2d)
                 a_eff = jnp.where(p == 0, 0.0, a)
                 c_eff = jnp.where(p == n - 1, 0.0, c)
                 denom = b - a_eff * c_prev
@@ -232,12 +234,12 @@ def _make_kernel(n, sweep_axis, axis_var, exact, c_blocks, bf16=False):
             """d-elimination + back substitution + fused update/merge for
             one variable, using the group's precomputed (c', denom)."""
             tv_ref = (adv_b if v == axis_var
-                      else (T_b if v == 3 else aux_dma_ref(slot)))
+                      else (T_b if v == t_var else aux_dma_ref(slot)))
             rhs_ref = rhs_f if bf16 else in_buf.at[slot, 0]
 
             def d_body(p, d_prev):
                 cls, bcv, bct = decode(p)
-                free = (bct if v == 3 else bcv) == 1
+                free = (bct if v == t_var else bcv) == 1
                 interior = cls == INTERIOR
                 a_eff = a_eff_row(p, cls, free, vis)
                 # in-kernel RHS (reference BuildMatrix AdiSolver3D.cpp:732-802)
@@ -247,7 +249,7 @@ def _make_kernel(n, sweep_axis, axis_var, exact, c_blocks, bf16=False):
                     pm = jnp.maximum(p - 1, 0)
                     grad = (row(T_b, pp) - row(T_b, pm)) * inv2h
                     d_int = d_int - v_T * grad
-                elif v == 3:
+                elif v == t_var:
                     d_int = d_int + row(aux_dma_ref(slot), p)
                 d_bc = jnp.where(free, 0.0, row(tv_ref, p))
                 d = jnp.where(interior, d_int,
@@ -277,18 +279,30 @@ def _make_kernel(n, sweep_axis, axis_var, exact, c_blocks, bf16=False):
                       if sweep_axis == 0 else
                       (slice(None), slice(m * n // n_mrg, (m + 1) * n // n_mrg)))
                 cls, _, _ = decode_pk(pk_b[sl])
-                written = cls != 0.0
                 is_in = cls == INTERIOR     # caller guarantees == NODE_IN
                 t_old = tv_ref[sl]
+                x_new = tn_buf[(slot,) + sl]
                 op_prev = (in_pay[(slot, 1) + sl].astype(jnp.float32)
                            if bf16 else in_buf[(slot, 1) + sl])
-                out_new = jnp.where(written, tn_buf[(slot,) + sl], op_prev)
-                t_new = jnp.where(is_in, (t_old + out_new) * 0.5, t_old)
+                if merge2d:
+                    # 2D copy-then-merge (AdiSolver2D.cpp:203-226): the
+                    # first local iteration COPIES sol into temp_local on
+                    # IN cells, later ones average; writes are IN-masked
+                    out_new = jnp.where(is_in, x_new, op_prev)
+                    t_new = jnp.where(is_in,
+                                      x_new if first
+                                      else (t_old + x_new) / 2.0, t_old)
+                else:
+                    # 3D UpdateSegment writes BC endpoints too
+                    # (AdiSolver3D.cpp:707-730); merge averages on IN
+                    written = cls != 0.0
+                    out_new = jnp.where(written, x_new, op_prev)
+                    t_new = jnp.where(is_in, (t_old + out_new) * 0.5, t_old)
                 out_buf[(slot,) + sl] = out_new
                 tn_buf[(slot,) + sl] = t_new
 
-        coeff_pass(v_vis_h2, for_T=False)       # shared by u, v, w
-        for v in range(4):
+        coeff_pass(v_vis_h2, for_T=False)       # shared by the velocities
+        for v in range(nvars):
             slot = v % 2
             wait_inputs(v, slot)
             if bf16:
@@ -312,9 +326,9 @@ def _make_kernel(n, sweep_axis, axis_var, exact, c_blocks, bf16=False):
                     pltpu.make_async_copy(tn_dma_ref(slot),
                                           slab4(tn_hbm, v),
                                           out_sems.at[slot, 1]).wait()
-            if v == 3:
+            if v == t_var:
                 coeff_pass(t_vis_h2, for_T=True)    # overwrites cp/rbuf
-            solve_var(v, slot, t_vis_h2 if v == 3 else v_vis_h2)
+            solve_var(v, slot, t_vis_h2 if v == t_var else v_vis_h2)
             if bf16:
                 out_bf[slot] = out_buf[slot].astype(jnp.bfloat16)
                 tn_bf[slot] = tn_buf[slot].astype(jnp.bfloat16)
@@ -323,19 +337,24 @@ def _make_kernel(n, sweep_axis, axis_var, exact, c_blocks, bf16=False):
                                   out_sems.at[slot, 0]).start()
             pltpu.make_async_copy(tn_dma_ref(slot), slab4(tn_hbm, v),
                                   out_sems.at[slot, 1]).start()
-            if v + 2 <= 3:
+            if v + 2 < nvars:
                 # refill this slot's inputs for var v+2 while v+1 computes
                 start_inputs(v + 2, slot)
             else:
                 # v's solve no longer reads in_buf[slot]: prefetch the next
-                # block's same-slot inputs (var v-2) behind the remaining work
+                # block's inputs behind the remaining work.  The next-block
+                # var whose turn this slot serves is the slot index itself
+                # (v=0 -> slot 0, v=1 -> slot 1) — correct for even AND odd
+                # nvars (odd nvars stagger the in-block v%2 parity, but the
+                # last user of slot s in a block is always followed by
+                # next-block var s)
                 @pl.when(L + 1 < total)
                 def _():
-                    start_inputs(v - 2, slot, nj, nc)
+                    start_inputs(slot, slot, nj, nc)
 
         @pl.when(L == total - 1)
         def _():
-            for v in (2, 3):
+            for v in range(max(0, nvars - 2), nvars):
                 slot = v % 2
                 pltpu.make_async_copy(out_dma_ref(slot), slab4(out_hbm, v),
                                       out_sems.at[slot, 0]).wait()
@@ -366,25 +385,48 @@ def _make_kernel(n, sweep_axis, axis_var, exact, c_blocks, bf16=False):
     return kernel
 
 
+def stream_vmem_need(n: int, bf16: bool = False) -> int:
+    """Scoped-VMEM bytes the kernel's scratch set needs at sweep length n
+    (slab thickness S_TILE, LANES lanes).  Callers beyond MAX_SWEEP (the
+    2D long-line case) must keep this under ~100MB."""
+    slab_bytes = n * S_TILE * LANES * 4
+    slabs = (6 + 13) if bf16 else (6 + 10 + 2)   # shared + payload + cp/rbuf
+    return slabs * slab_bytes
+
+
 @functools.partial(jax.jit,
-                   static_argnames=("sweep_axis", "axis_var", "exact"))
+                   static_argnames=("sweep_axis", "axis_var", "exact",
+                                    "t_var", "bc2d", "merge2d", "first"))
 def fused_sweep_stream(temp4, cls, bcv, bct, rhs4, out_prev4, forcing, scal,
-                       sweep_axis: int, axis_var: int, exact: bool = True):
+                       sweep_axis: int, axis_var: int, exact: bool = True,
+                       t_var: int | None = None, bc2d: bool = False,
+                       merge2d: bool = False, first: bool = False):
     """Returns (out_new4, temp_new4) for one direction-local-iteration.
 
-    temp4/rhs4/out_prev4: (4, A, B, C) stacked u,v,w,T; forcing: (A, B, C)
-    = t_phi*diss for the T equation; scal: (5,) f32 =
-    [v_vis_h2, t_vis_h2, 3/dt, 1/(2h), v_T].  ``axis_var`` is the physical
-    sweep direction (picks the advection/temp component and the grad-T
-    forcing); ``sweep_axis`` in {0, 1} is the slab geometry — callers handle
-    Z by swapping axes 1<->2 (Z_as_Y, AdiSolver3D.cu:198-210).
+    temp4/rhs4/out_prev4: (nvars, A, B, C) stacked fields (3D: u,v,w,T;
+    2D: u,v,T); forcing: (A, B, C) = t_phi*diss for the T equation; scal:
+    (5,) f32 = [v_vis_h2, t_vis_h2, 3/dt (2D: 1/dt), 1/(2h), v_T].
+    ``axis_var`` is the physical sweep direction (picks the advection/temp
+    component and the grad-T forcing); ``sweep_axis`` in {0, 1} is the
+    slab geometry — callers handle Z by swapping axes 1<->2 (Z_as_Y,
+    AdiSolver3D.cu:198-210).
+
+    2D mode (AdiSolver2D semantics): ``t_var``/``bc2d`` as in
+    fused_sweep_dma, ``merge2d`` selects the copy-then-merge fold
+    (IN-masked writes; ``first`` = copy instead of average —
+    AdiSolver2D.cpp:203-226).
     """
-    _, A, B, C = temp4.shape
+    nvars, A, B, C = temp4.shape
+    if t_var is None:
+        t_var = nvars - 1
     Cp = _ceil_to(C, LANES)
     Ap = _ceil_to(A, S_TILE)
     Bp = _ceil_to(B, S_TILE)
     n = (Ap, Bp)[sweep_axis]
-    assert n <= MAX_SWEEP, (n, MAX_SWEEP)
+    # 3D callers gate on MAX_SWEEP; the 2D single-block case may go longer
+    # as long as the scratch set fits the scoped-VMEM grant
+    vmem_need = stream_vmem_need(n, rhs4.dtype == jnp.bfloat16)
+    assert vmem_need < 100 * 2 ** 20, (n, vmem_need)
 
     def pad3(x):
         return jnp.pad(x, ((0, Ap - A), (0, Bp - B), (0, Cp - C)))
@@ -426,12 +468,14 @@ def fused_sweep_stream(temp4, cls, bcv, bct, rhs4, out_prev4, forcing, scal,
 
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     out, tn = pl.pallas_call(
-        _make_kernel(n, sweep_axis, axis_var, exact, c_blocks, bf16),
+        _make_kernel(n, sweep_axis, axis_var, exact, c_blocks, bf16,
+                     nvars=nvars, t_var=t_var, bc2d=bc2d, merge2d=merge2d,
+                     first=first),
         grid=(n_blocks, c_blocks),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [any_spec] * 5,
         out_specs=(any_spec, any_spec),
-        out_shape=(jax.ShapeDtypeStruct((4, Ap, Bp, Cp), rp4.dtype),
-                   jax.ShapeDtypeStruct((4, Ap, Bp, Cp), rp4.dtype)),
+        out_shape=(jax.ShapeDtypeStruct((nvars, Ap, Bp, Cp), rp4.dtype),
+                   jax.ShapeDtypeStruct((nvars, Ap, Bp, Cp), rp4.dtype)),
         input_output_aliases={4: 0},    # out_prev buffer IS the output layer
         scratch_shapes=[
             pltpu.VMEM((2,) + slab, f32),           # adv (block-parity 2x)
@@ -445,7 +489,8 @@ def fused_sweep_stream(temp4, cls, bcv, bct, rhs4, out_prev4, forcing, scal,
             pltpu.SemaphoreType.DMA((2, 2)),        # out_sems
         ],
         compiler_params=pltpu.CompilerParams(
-            has_side_effects=True, vmem_limit_bytes=32 * 2 ** 20),
+            has_side_effects=True,
+            vmem_limit_bytes=max(32 * 2 ** 20, int(vmem_need * 1.3))),
         interpret=(jax.default_backend() != "tpu"),
     )(scal, tp4, pkp, rp4, op4, fp)
 

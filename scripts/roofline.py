@@ -95,9 +95,12 @@ def main():
     print(f"XLA elementwise copy of 4x{args.n}^3 f32: {cms:.2f} ms "
           f"=> {bw:.1f} GB/s effective")
 
-    # traffic model (field-moves per direction-solve, num_local=1):
-    model = {"fused_dma": 30 + 16, "fused_full": 11 + 8, "fused_merge": 14 + 8,
-             "scan": 60}
+    # traffic model (field-moves per direction-solve, num_local=1; see
+    # docs/ROOFLINE.md for the per-slab derivation):
+    model = {"fused_dma": 30 + 16, "fused_full": 18 + 8, "scan": 60,
+             # fused_nl performs TWO local iterations per invocation
+             # (30 moves per pair); at num_local=1 it equals fused_full
+             "fused_nl": 18 + 8}
     for be in args.backends.split(","):
         for axis in [int(a) for a in args.axes.split(",")]:
             ms = measure_direction(be, args.n, axis=axis)

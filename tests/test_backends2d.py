@@ -52,3 +52,25 @@ def test_2d_fused_bf16_close():
     for r, o in zip(ref, out):
         np.testing.assert_allclose(np.asarray(o), np.asarray(r), atol=0.02)
     assert np.isfinite(float(e1))
+
+
+@pytest.mark.parametrize("dims,nl", [((48, 40), 1), ((48, 40), 2),
+                                     ((320, 160), 1)])
+def test_2d_stream_fused_matches_scan(dims, nl):
+    """2D full fusion (stream kernel merge2d mode: in-kernel RHS build +
+    solve + copy-then-merge, AdiSolver2D.cpp:203-226) — incl. num_local=2
+    (first-iteration copy, then average) and FREE rows."""
+    adi2d, ga, cur, pa = _setup(*dims)
+    stream_ok = adi2d.stream_ok_2d(ga)
+    assert all(stream_ok), stream_ok
+    dt = jnp.float32(0.001)
+    ref, e0, it0 = adi2d.adi_timestep_2d(cur, ga, dt, jnp.int32(2), nl, pa,
+                                         backend="scan", exact=True)
+    out, e1, it1 = adi2d.adi_timestep_2d(cur, ga, dt, jnp.int32(2), nl, pa,
+                                         backend="fused_full", exact=True,
+                                         stream_ok=stream_ok)
+    assert int(it0) == int(it1)
+    for r, o in zip(ref, out):
+        np.testing.assert_allclose(np.asarray(o), np.asarray(r),
+                                   rtol=0, atol=5e-7)
+    assert abs(float(e0) - float(e1)) < 1e-7
