@@ -356,8 +356,20 @@ def _solve_stream_fused(axis: int, rhs: State3D, temp: State3D, out: State3D,
             State3D(o4[0], o4[1], o4[2], o4[3]))
 
 
+def _nl_pair_active(axis: int, n_sweep: int, backend: str, merge_ok_ax: bool,
+                    dual_free: bool, num_local: int, plan) -> bool:
+    """Static predicate: does this direction run the num_local-pair kernel
+    (pallas_sweep_nl) for its local iterations?  Shared by the dispatch and
+    by adi_timestep_3d's gmerge-fold decision so they can never diverge."""
+    if backend != "fused_nl" or plan is not None or num_local < 2:
+        return False
+    from ..ops.pallas_sweep_nl import MAX_SWEEP
+    return merge_ok_ax and dual_free and n_sweep <= MAX_SWEEP
+
+
 def _solve_nl_fused(axis: int, rhs: State3D, temp: State3D, out: State3D,
-                    ga: GridArrays3D, dt, pa: ParamsArgs3D, exact: bool):
+                    ga: GridArrays3D, dt, pa: ParamsArgs3D, exact: bool,
+                    gmerge: bool = False):
     """num_local-PAIR fusion: TWO local iterations in one kernel invocation
     (ops/pallas_sweep_nl.py) — iteration 2's coefficients and dissipation
     forcing are rebuilt in-kernel from the VMEM-resident merged temp, so
@@ -395,12 +407,14 @@ def _solve_nl_fused(axis: int, rhs: State3D, temp: State3D, out: State3D,
         o4, t4 = fused_sweep_nl(sw4(temp4), sw(cls), sw(ga.bc_vel),
                                 sw(ga.bc_temp), sw4(rhs4), sw4(op4),
                                 sw(forcing), scal,
-                                sweep_axis=1, axis_var=axis, exact=exact)
+                                sweep_axis=1, axis_var=axis, exact=exact,
+                                gmerge=gmerge)
         o4, t4 = sw4(o4), sw4(t4)
     else:
         o4, t4 = fused_sweep_nl(temp4, cls, ga.bc_vel, ga.bc_temp,
                                 rhs4, op4, forcing, scal,
-                                sweep_axis=axis, axis_var=axis, exact=exact)
+                                sweep_axis=axis, axis_var=axis, exact=exact,
+                                gmerge=gmerge)
     return (State3D(t4[0], t4[1], t4[2], t4[3]),
             State3D(o4[0], o4[1], o4[2], o4[3]))
 
@@ -408,7 +422,7 @@ def _solve_nl_fused(axis: int, rhs: State3D, temp: State3D, out: State3D,
 def _solve_direction_3d(axis: int, rhs: State3D, temp: State3D, out_layer: State3D,
                         ga: GridArrays3D, dt, num_local: int, pa: ParamsArgs3D,
                         backend: str, exact: bool, plan=None,
-                        merge_ok: bool = False):
+                        merge_ok: bool = False, gmerge: bool = False):
     """Reference SolveDirection (AdiSolver3D.cpp:564-666), CPU semantics."""
     n_sweep = rhs.u.shape[axis]
     if backend in ("fused_full", "fused_bf16", "fused_nl"):
@@ -424,10 +438,15 @@ def _solve_direction_3d(axis: int, rhs: State3D, temp: State3D, out_layer: State
         # resharding fused_dma path below
         out = out_layer
         n_left = num_local
-        if backend == "fused_nl" and plan is None:
-            for _ in range(num_local // 2):
+        if _nl_pair_active(axis, n_sweep, backend, merge_ok,
+                           ga.cls_b[axis] is None, num_local, plan):
+            pairs = num_local // 2
+            for k in range(pairs):
+                # the gmerge fold applies only on the direction's FINAL
+                # kernel call (no trailing odd stream iteration)
+                g = gmerge and (k == pairs - 1) and num_local % 2 == 0
                 temp, out = _solve_nl_fused(axis, rhs, temp, out, ga, dt,
-                                            pa, exact)
+                                            pa, exact, gmerge=g)
             n_left = num_local % 2
         fused_dir = functools.partial(
             _solve_stream_fused, bf16=(backend == "fused_bf16"),
@@ -605,15 +624,23 @@ def adi_timestep_3d(cur: State3D, nxt_prev: State3D, ga: GridArrays3D, dt,
     temp = cur
     half = State3D(*(jnp.zeros_like(f) for f in cur))
 
+    # when the X direction ends on the num_local-pair kernel, the global
+    # MergeLayer folds into that kernel's in-kernel merge (gmerge) and the
+    # XLA pass below is skipped — same static predicate as the dispatch
+    gfold = (_nl_pair_active(0, cur.u.shape[0], backend, merge_ok[0],
+                             ga.cls_b[0] is None, num_local, plan)
+             and num_local % 2 == 0)
     for _ in range(num_global):
         temp, nxt = _solve_direction_3d(2, cur, temp, nxt, ga, dt, num_local,
                                         pa, backend, exact, plan, merge_ok[2])
         temp, half = _solve_direction_3d(1, nxt, temp, half, ga, dt, num_local,
                                          pa, backend, exact, plan, merge_ok[1])
         temp, nxt = _solve_direction_3d(0, half, temp, nxt, ga, dt, num_local,
-                                        pa, backend, exact, plan, merge_ok[0])
-        temp = State3D(*(jnp.where(is_in, (t + n) / 2.0, t)
-                         for t, n in zip(temp, nxt)))
+                                        pa, backend, exact, plan, merge_ok[0],
+                                        gmerge=gfold)
+        if not gfold:
+            temp = State3D(*(jnp.where(is_in, (t + n) / 2.0, t)
+                             for t, n in zip(temp, nxt)))
 
     if compute_error:
         err = stencil.div_error_3d(nxt.u, nxt.v, nxt.w, ga.types,

@@ -25,11 +25,14 @@ across BOTH local iterations:
   (b-1, b+1, b-c_blocks, b+c_blocks) has its iteration-1 result in a ring
   slot.  Ring sizes: 2*c_blocks+1 slots of tn1[axis_var] (halo ring),
   c_blocks+1 slots of {tn1 others, out1, pk} (per-cell ring);
-* only iteration 2's results are written to HBM; rhs4 is re-streamed for
-  iteration 2 (cheaper than another 4-slab ring), everything else of
-  iteration 2 comes from VMEM.
+* only iteration 2's results are written to HBM; rhs4 lands in its own
+  VMEM ring on iteration 1's stream and is re-read from VMEM by
+  iteration 2 — nothing of iteration 2 touches HBM except its outputs;
+* optional ``gmerge``: the end-of-global-iteration MergeLayer
+  (temp <- avg(temp, next) on IN cells) folds into the final direction's
+  in-kernel merge, dropping the XLA merge pass.
 
-Per direction (nl=2) HBM traffic: ~18 field reads + 8 writes, vs ~30
+Per direction (nl=2) HBM traffic: 14 field reads + 8 writes, vs ~30
 reads + 16 writes + 2 XLA diss passes for two stream-kernel invocations.
 
 Grid-edge blocks read garbage/wrong-block halo values: those only feed
@@ -60,13 +63,16 @@ MAX_SWEEP = 256
 N_MRG = 4     # row-chunk count for vectorized slab passes (VMEM stack cap)
 
 
-def _make_kernel(n, sweep_axis, axis_var, exact, c_blocks, n_blocks):
+def _make_kernel(n, sweep_axis, axis_var, exact, c_blocks, n_blocks,
+                 gmerge=False):
     row, set_row = make_row_ops(sweep_axis)
     total = n_blocks * c_blocks
     lag = c_blocks
     S_A = 2 * c_blocks + 1      # tn1[axis_var] halo ring
     S_B = c_blocks + 1          # per-cell ring (tn1 others, out1)
     S_P = c_blocks + 2          # pk ring (one extra slot for the prefetch)
+    S_R = c_blocks + 2          # rhs ring (written ahead by the prefetch,
+                                # read per-cell by BOTH iterations)
     others = [v for v in range(4) if v != axis_var]   # ring-B channels
     ch_of = {v: i for i, v in enumerate(others)}
     o1, o2 = [v for v in range(3) if v != axis_var]   # diss partner vars
@@ -80,9 +86,9 @@ def _make_kernel(n, sweep_axis, axis_var, exact, c_blocks, n_blocks):
 
     def body(scal_ref, temp_hbm, pk_hbm, rhs_hbm, op_hbm, forc_hbm,
              out_hbm, tn_hbm,
-             adv_v, T_v, in_buf, rhs2_v, tnA, tnB, o1r, pkr,
+             adv_v, T_v, in_buf, rhs_r, tnA, tnB, o1r, pkr,
              out_buf, tn_buf, cp, rbuf, h1s, h2s, gavs, go1s, go2s, f2s,
-             sh_sems, in_sems, rhs2_sems, out_sems):
+             sh_sems, in_sems, out_sems):
         L = pl.program_id(0)
         bp = jax.lax.rem(L, 2)
         b2 = L - lag
@@ -134,36 +140,32 @@ def _make_kernel(n, sweep_axis, axis_var, exact, c_blocks, n_blocks):
                                   sh_sems.at[par, 2]).wait()
 
         def start_inputs(v, slot, b):
-            pltpu.make_async_copy(slab4(rhs_hbm, v, b), in_buf.at[slot, 0],
+            # rhs lands straight in its ring slab: iteration 2 re-reads it
+            # from VMEM instead of re-streaming it from HBM
+            pltpu.make_async_copy(slab4(rhs_hbm, v, b),
+                                  rhs_r.at[ring(b, S_R), v],
                                   in_sems.at[slot, 0]).start()
-            pltpu.make_async_copy(slab4(op_hbm, v, b), in_buf.at[slot, 1],
+            pltpu.make_async_copy(slab4(op_hbm, v, b), in_buf.at[slot, 0],
                                   in_sems.at[slot, 1]).start()
             if v == 3:
                 pltpu.make_async_copy(slab3(forc_hbm, b),
-                                      in_buf.at[slot, 2],
+                                      in_buf.at[slot, 1],
                                       in_sems.at[slot, 2]).start()
             elif v != axis_var:
                 pltpu.make_async_copy(slab4(temp_hbm, v, b),
-                                      in_buf.at[slot, 2],
+                                      in_buf.at[slot, 1],
                                       in_sems.at[slot, 2]).start()
 
         def wait_inputs(v, slot, b):
-            pltpu.make_async_copy(slab4(rhs_hbm, v, b), in_buf.at[slot, 0],
+            pltpu.make_async_copy(slab4(rhs_hbm, v, b),
+                                  rhs_r.at[ring(b, S_R), v],
                                   in_sems.at[slot, 0]).wait()
-            pltpu.make_async_copy(slab4(op_hbm, v, b), in_buf.at[slot, 1],
+            pltpu.make_async_copy(slab4(op_hbm, v, b), in_buf.at[slot, 0],
                                   in_sems.at[slot, 1]).wait()
             if v != axis_var:
                 src = slab3(forc_hbm, b) if v == 3 else slab4(temp_hbm, v, b)
-                pltpu.make_async_copy(src, in_buf.at[slot, 2],
+                pltpu.make_async_copy(src, in_buf.at[slot, 1],
                                       in_sems.at[slot, 2]).wait()
-
-        def start_rhs2(v, b):
-            pltpu.make_async_copy(slab4(rhs_hbm, v, b), rhs2_v.at[v % 2],
-                                  rhs2_sems.at[v % 2]).start()
-
-        def wait_rhs2(v, b):
-            pltpu.make_async_copy(slab4(rhs_hbm, v, b), rhs2_v.at[v % 2],
-                                  rhs2_sems.at[v % 2]).wait()
 
         # --------------------------------------------------- shared chains
         def chunked(fn, init):
@@ -254,13 +256,6 @@ def _make_kernel(n, sweep_axis, axis_var, exact, c_blocks, n_blocks):
         def _():
             start_shared(L + 1, 1 - bp)
 
-        @pl.when(L >= lag)
-        def _():
-            # early-issue iteration 2's first rhs reads: they hide behind
-            # the whole of phase A
-            start_rhs2(0, b2)
-            start_rhs2(1, b2)
-
         @pl.when(L < total)
         def _():
             wait_shared(bp, L)
@@ -280,10 +275,10 @@ def _make_kernel(n, sweep_axis, axis_var, exact, c_blocks, n_blocks):
                 dst_o = o1r.at[rbB, v]
                 dst_t = tnA.at[rbA] if v == axis_var else tnB.at[rbB, ch_of[v]]
                 tv1 = adv1 if v == axis_var else (T1 if v == 3
-                                                  else in_buf.at[slot, 2])
+                                                  else in_buf.at[slot, 1])
                 solve_var(v, t_vis_h2 if v == 3 else v_vis_h2,
-                          adv1, pk1, T1, in_buf.at[slot, 0],
-                          in_buf.at[slot, 2], tv1, dst_o, dst_t)
+                          adv1, pk1, T1, rhs_r.at[ring(L, S_R), v],
+                          in_buf.at[slot, 1], tv1, dst_o, dst_t)
                 # vectorized UpdateSegment + merge (iteration 1):
                 #   out1 = where(written, x, out_prev); tn1 = avg on NODE_IN
                 for m in range(N_MRG):
@@ -293,7 +288,7 @@ def _make_kernel(n, sweep_axis, axis_var, exact, c_blocks, n_blocks):
                     is_in = cls == INTERIOR
                     t_old = tv1[sl]
                     out_new = jnp.where(written, dst_t[sl],
-                                        in_buf[(slot, 1) + sl])
+                                        in_buf[(slot, 0) + sl])
                     t_new = jnp.where(is_in, (t_old + out_new) * 0.5, t_old)
                     dst_o[sl] = out_new
                     dst_t[sl] = t_new
@@ -407,10 +402,10 @@ def _make_kernel(n, sweep_axis, axis_var, exact, c_blocks, n_blocks):
                 f2s[sl] = t_phi * diss
 
             # ---- solve the four systems of iteration 2
+            rbR = ring(b2, S_R)
             coeff_pass(adv2, pk2, v_vis_h2, for_T=False)
             for v in range(4):
                 slot = v % 2
-                wait_rhs2(v, b2)
                 if v >= 2:
                     pltpu.make_async_copy(out_buf.at[slot],
                                           slab4(out_hbm, v - 2, b2),
@@ -432,12 +427,8 @@ def _make_kernel(n, sweep_axis, axis_var, exact, c_blocks, n_blocks):
                 tv2 = (adv2 if v == axis_var
                        else (T2 if v == 3 else tnB.at[rbB, ch_of[v]]))
                 solve_var(v, t_vis_h2 if v == 3 else v_vis_h2,
-                          adv2, pk2, T2, rhs2_v.at[slot], f2s, tv2,
+                          adv2, pk2, T2, rhs_r.at[rbR, v], f2s, tv2,
                           out_buf.at[slot], tn_buf.at[slot])
-                if v + 2 <= 3:
-                    start_rhs2(v + 2, b2)
-                # (the next block's rhs2 v=0/1 are early-issued at the top
-                # of the next grid step, hidden behind its phase A)
                 # iteration-2 merge against the resident iteration-1 layers
                 for m in range(N_MRG):
                     sl = mrg_sl(m)
@@ -448,6 +439,12 @@ def _make_kernel(n, sweep_axis, axis_var, exact, c_blocks, n_blocks):
                     out_new = jnp.where(written, tn_buf[(slot,) + sl],
                                         o1r[(rbB, v) + sl])
                     t_new = jnp.where(is_in, (t_old + out_new) * 0.5, t_old)
+                    if gmerge:
+                        # fold the end-of-global-iteration MergeLayer
+                        # (temp <- avg(temp, next) on IN, TimeStep
+                        # AdiSolver3D.cpp:346-358) into the final direction
+                        t_new = jnp.where(is_in, (t_new + out_new) / 2.0,
+                                          t_new)
                     out_buf[(slot,) + sl] = out_new
                     tn_buf[(slot,) + sl] = t_new
                 pltpu.make_async_copy(out_buf.at[slot],
@@ -471,9 +468,11 @@ def _make_kernel(n, sweep_axis, axis_var, exact, c_blocks, n_blocks):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("sweep_axis", "axis_var", "exact"))
+                   static_argnames=("sweep_axis", "axis_var", "exact",
+                                    "gmerge"))
 def fused_sweep_nl(temp4, cls, bcv, bct, rhs4, out_prev4, forcing, scal,
-                   sweep_axis: int, axis_var: int, exact: bool = True):
+                   sweep_axis: int, axis_var: int, exact: bool = True,
+                   gmerge: bool = False):
     """Two fused local iterations; returns (out2_4, temp2_4).
 
     Arguments as pallas_sweep_stream.fused_sweep_stream, except scal is
@@ -509,18 +508,21 @@ def fused_sweep_nl(temp4, cls, bcv, bct, rhs4, out_prev4, forcing, scal,
     S_A = 2 * c_blocks + 1
     S_B = c_blocks + 1
     S_P = c_blocks + 2
+    S_R = c_blocks + 2
     f32 = jnp.float32
 
     import math
     slab_bytes = math.prod(slab) * 4
-    # adv/T parity pairs 4, in_buf 6, rhs2 2, rings S_A + 3*S_B(tnB) +
-    # 4*S_B(out1) + S_P(pk), out/tn bufs 4, cp/rbuf 2, diss scratch 6
-    scratch_slabs = (4 + 6 + 2 + S_A + 7 * S_B + S_P + 4 + 2 + 6)
+    # adv/T parity pairs 4, in_buf 4 (op|aux x2), rings S_A + 3*S_B(tnB)
+    # + 4*S_B(out1) + S_P(pk) + 4*S_R(rhs), out/tn bufs 4, cp/rbuf 2,
+    # diss scratch 6
+    scratch_slabs = (4 + 4 + S_A + 7 * S_B + S_P + 4 * S_R + 4 + 2 + 6)
     vmem_need = scratch_slabs * slab_bytes
 
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     out, tn = pl.pallas_call(
-        _make_kernel(n, sweep_axis, axis_var, exact, c_blocks, n_blocks),
+        _make_kernel(n, sweep_axis, axis_var, exact, c_blocks, n_blocks,
+                     gmerge=gmerge),
         grid=(n_blocks * c_blocks + c_blocks,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [any_spec] * 5,
         out_specs=(any_spec, any_spec),
@@ -530,8 +532,8 @@ def fused_sweep_nl(temp4, cls, bcv, bct, rhs4, out_prev4, forcing, scal,
         scratch_shapes=[
             pltpu.VMEM((2,) + slab, f32),          # adv1 (block parity)
             pltpu.VMEM((2,) + slab, f32),          # T1
-            pltpu.VMEM((2, 3) + slab, f32),        # iter-1 rhs|op|aux
-            pltpu.VMEM((2,) + slab, f32),          # iter-2 rhs stream
+            pltpu.VMEM((2, 2) + slab, f32),        # iter-1 op|aux
+            pltpu.VMEM((S_R, 4) + slab, f32),      # rhs ring (both iters)
             pltpu.VMEM((S_A,) + slab, f32),        # tn1[axis_var] halo ring
             pltpu.VMEM((S_B, 3) + slab, f32),      # tn1 other-vars ring
             pltpu.VMEM((S_B, 4) + slab, f32),      # out1 ring
@@ -547,8 +549,7 @@ def fused_sweep_nl(temp4, cls, bcv, bct, rhs4, out_prev4, forcing, scal,
             pltpu.VMEM(slab, f32),                 # go2
             pltpu.VMEM(slab, f32),                 # forcing2
             pltpu.SemaphoreType.DMA((2, 3)),       # sh_sems [par, adv|T|pk]
-            pltpu.SemaphoreType.DMA((2, 3)),       # in_sems
-            pltpu.SemaphoreType.DMA((2,)),         # rhs2_sems
+            pltpu.SemaphoreType.DMA((2, 3)),       # in_sems [slot, r|o|a]
             pltpu.SemaphoreType.DMA((2, 2)),       # out_sems
         ],
         compiler_params=pltpu.CompilerParams(
