@@ -361,7 +361,8 @@ def _nl_pair_active(axis: int, n_sweep: int, backend: str, merge_ok_ax: bool,
     """Static predicate: does this direction run the num_local-pair kernel
     (pallas_sweep_nl) for its local iterations?  Shared by the dispatch and
     by adi_timestep_3d's gmerge-fold decision so they can never diverge."""
-    if backend != "fused_nl" or plan is not None or num_local < 2:
+    if (backend not in ("fused_nl", "fused_bf16") or plan is not None
+            or num_local < 2):
         return False
     from ..ops.pallas_sweep_nl import MAX_SWEEP
     return merge_ok_ax and dual_free and n_sweep <= MAX_SWEEP
@@ -369,7 +370,7 @@ def _nl_pair_active(axis: int, n_sweep: int, backend: str, merge_ok_ax: bool,
 
 def _solve_nl_fused(axis: int, rhs: State3D, temp: State3D, out: State3D,
                     ga: GridArrays3D, dt, pa: ParamsArgs3D, exact: bool,
-                    gmerge: bool = False):
+                    gmerge: bool = False, bf16: bool = False):
     """num_local-PAIR fusion: TWO local iterations in one kernel invocation
     (ops/pallas_sweep_nl.py) — iteration 2's coefficients and dissipation
     forcing are rebuilt in-kernel from the VMEM-resident merged temp, so
@@ -400,6 +401,11 @@ def _solve_nl_fused(axis: int, rhs: State3D, temp: State3D, out: State3D,
     temp4 = jnp.stack(tuple(temp))
     rhs4 = jnp.stack(tuple(rhs))
     op4 = jnp.stack(tuple(out))
+    if bf16:
+        # payload storage mode (casts fuse into the producers; compute,
+        # temp/BC values and the in-kernel rings stay f32)
+        rhs4 = rhs4.astype(jnp.bfloat16)
+        op4 = op4.astype(jnp.bfloat16)
     cls = ga.cls_a[axis]
     if axis == 2:
         sw = lambda t: jnp.swapaxes(t, 1, 2)
@@ -415,6 +421,9 @@ def _solve_nl_fused(axis: int, rhs: State3D, temp: State3D, out: State3D,
                                 rhs4, op4, forcing, scal,
                                 sweep_axis=axis, axis_var=axis, exact=exact,
                                 gmerge=gmerge)
+    if bf16:
+        o4 = o4.astype(jnp.float32)
+        t4 = t4.astype(jnp.float32)
     return (State3D(t4[0], t4[1], t4[2], t4[3]),
             State3D(o4[0], o4[1], o4[2], o4[3]))
 
@@ -446,7 +455,8 @@ def _solve_direction_3d(axis: int, rhs: State3D, temp: State3D, out_layer: State
                 # kernel call (no trailing odd stream iteration)
                 g = gmerge and (k == pairs - 1) and num_local % 2 == 0
                 temp, out = _solve_nl_fused(axis, rhs, temp, out, ga, dt,
-                                            pa, exact, gmerge=g)
+                                            pa, exact, gmerge=g,
+                                            bf16=(backend == "fused_bf16"))
             n_left = num_local % 2
         fused_dir = functools.partial(
             _solve_stream_fused, bf16=(backend == "fused_bf16"),

@@ -64,7 +64,7 @@ N_MRG = 4     # row-chunk count for vectorized slab passes (VMEM stack cap)
 
 
 def _make_kernel(n, sweep_axis, axis_var, exact, c_blocks, n_blocks,
-                 gmerge=False):
+                 gmerge=False, bf16=False):
     row, set_row = make_row_ops(sweep_axis)
     total = n_blocks * c_blocks
     lag = c_blocks
@@ -86,9 +86,24 @@ def _make_kernel(n, sweep_axis, axis_var, exact, c_blocks, n_blocks,
 
     def body(scal_ref, temp_hbm, pk_hbm, rhs_hbm, op_hbm, forc_hbm,
              out_hbm, tn_hbm,
-             adv_v, T_v, in_buf, rhs_r, tnA, tnB, o1r, pkr,
+             adv_v, T_v, op_buf, aux_buf, rhs_r, tnA, tnB, o1r, pkr,
              out_buf, tn_buf, cp, rbuf, h1s, h2s, gavs, go1s, go2s, f2s,
-             sh_sems, in_sems, out_sems):
+             sh_sems, in_sems, out_sems,
+             out_bf=None, tn_bf=None, rhs_f=None):
+        f32 = jnp.float32
+
+        def out_dma_ref(slot):
+            return out_bf.at[slot] if bf16 else out_buf.at[slot]
+
+        def tn_dma_ref(slot):
+            return tn_bf.at[slot] if bf16 else tn_buf.at[slot]
+
+        def rhs_ring_ref(rb, v):
+            # bf16 payload: rows are read from the full-slab f32 upcast
+            if bf16:
+                rhs_f[...] = rhs_r[rb, v].astype(f32)
+                return rhs_f
+            return rhs_r.at[rb, v]
         L = pl.program_id(0)
         bp = jax.lax.rem(L, 2)
         b2 = L - lag
@@ -145,26 +160,26 @@ def _make_kernel(n, sweep_axis, axis_var, exact, c_blocks, n_blocks,
             pltpu.make_async_copy(slab4(rhs_hbm, v, b),
                                   rhs_r.at[ring(b, S_R), v],
                                   in_sems.at[slot, 0]).start()
-            pltpu.make_async_copy(slab4(op_hbm, v, b), in_buf.at[slot, 0],
+            pltpu.make_async_copy(slab4(op_hbm, v, b), op_buf.at[slot],
                                   in_sems.at[slot, 1]).start()
             if v == 3:
                 pltpu.make_async_copy(slab3(forc_hbm, b),
-                                      in_buf.at[slot, 1],
+                                      aux_buf.at[slot],
                                       in_sems.at[slot, 2]).start()
             elif v != axis_var:
                 pltpu.make_async_copy(slab4(temp_hbm, v, b),
-                                      in_buf.at[slot, 1],
+                                      aux_buf.at[slot],
                                       in_sems.at[slot, 2]).start()
 
         def wait_inputs(v, slot, b):
             pltpu.make_async_copy(slab4(rhs_hbm, v, b),
                                   rhs_r.at[ring(b, S_R), v],
                                   in_sems.at[slot, 0]).wait()
-            pltpu.make_async_copy(slab4(op_hbm, v, b), in_buf.at[slot, 0],
+            pltpu.make_async_copy(slab4(op_hbm, v, b), op_buf.at[slot],
                                   in_sems.at[slot, 1]).wait()
             if v != axis_var:
                 src = slab3(forc_hbm, b) if v == 3 else slab4(temp_hbm, v, b)
-                pltpu.make_async_copy(src, in_buf.at[slot, 1],
+                pltpu.make_async_copy(src, aux_buf.at[slot],
                                       in_sems.at[slot, 2]).wait()
 
         # --------------------------------------------------- shared chains
@@ -275,10 +290,10 @@ def _make_kernel(n, sweep_axis, axis_var, exact, c_blocks, n_blocks,
                 dst_o = o1r.at[rbB, v]
                 dst_t = tnA.at[rbA] if v == axis_var else tnB.at[rbB, ch_of[v]]
                 tv1 = adv1 if v == axis_var else (T1 if v == 3
-                                                  else in_buf.at[slot, 1])
+                                                  else aux_buf.at[slot])
                 solve_var(v, t_vis_h2 if v == 3 else v_vis_h2,
-                          adv1, pk1, T1, rhs_r.at[ring(L, S_R), v],
-                          in_buf.at[slot, 1], tv1, dst_o, dst_t)
+                          adv1, pk1, T1, rhs_ring_ref(ring(L, S_R), v),
+                          aux_buf.at[slot], tv1, dst_o, dst_t)
                 # vectorized UpdateSegment + merge (iteration 1):
                 #   out1 = where(written, x, out_prev); tn1 = avg on NODE_IN
                 for m in range(N_MRG):
@@ -287,8 +302,9 @@ def _make_kernel(n, sweep_axis, axis_var, exact, c_blocks, n_blocks,
                     written = cls != 0.0
                     is_in = cls == INTERIOR
                     t_old = tv1[sl]
-                    out_new = jnp.where(written, dst_t[sl],
-                                        in_buf[(slot, 0) + sl])
+                    op_prev = (op_buf[(slot,) + sl].astype(f32)
+                               if bf16 else op_buf[(slot,) + sl])
+                    out_new = jnp.where(written, dst_t[sl], op_prev)
                     t_new = jnp.where(is_in, (t_old + out_new) * 0.5, t_old)
                     dst_o[sl] = out_new
                     dst_t[sl] = t_new
@@ -407,19 +423,19 @@ def _make_kernel(n, sweep_axis, axis_var, exact, c_blocks, n_blocks,
             for v in range(4):
                 slot = v % 2
                 if v >= 2:
-                    pltpu.make_async_copy(out_buf.at[slot],
+                    pltpu.make_async_copy(out_dma_ref(slot),
                                           slab4(out_hbm, v - 2, b2),
                                           out_sems.at[slot, 0]).wait()
-                    pltpu.make_async_copy(tn_buf.at[slot],
+                    pltpu.make_async_copy(tn_dma_ref(slot),
                                           slab4(tn_hbm, v - 2, b2),
                                           out_sems.at[slot, 1]).wait()
                 else:
                     @pl.when(b2 > 0)
                     def _():
-                        pltpu.make_async_copy(out_buf.at[slot],
+                        pltpu.make_async_copy(out_dma_ref(slot),
                                               slab4(out_hbm, v + 2, b2 - 1),
                                               out_sems.at[slot, 0]).wait()
-                        pltpu.make_async_copy(tn_buf.at[slot],
+                        pltpu.make_async_copy(tn_dma_ref(slot),
                                               slab4(tn_hbm, v + 2, b2 - 1),
                                               out_sems.at[slot, 1]).wait()
                 if v == 3:
@@ -427,7 +443,7 @@ def _make_kernel(n, sweep_axis, axis_var, exact, c_blocks, n_blocks,
                 tv2 = (adv2 if v == axis_var
                        else (T2 if v == 3 else tnB.at[rbB, ch_of[v]]))
                 solve_var(v, t_vis_h2 if v == 3 else v_vis_h2,
-                          adv2, pk2, T2, rhs_r.at[rbR, v], f2s, tv2,
+                          adv2, pk2, T2, rhs_ring_ref(rbR, v), f2s, tv2,
                           out_buf.at[slot], tn_buf.at[slot])
                 # iteration-2 merge against the resident iteration-1 layers
                 for m in range(N_MRG):
@@ -447,23 +463,40 @@ def _make_kernel(n, sweep_axis, axis_var, exact, c_blocks, n_blocks,
                                           t_new)
                     out_buf[(slot,) + sl] = out_new
                     tn_buf[(slot,) + sl] = t_new
-                pltpu.make_async_copy(out_buf.at[slot],
+                if bf16:
+                    out_bf[slot] = out_buf[slot].astype(jnp.bfloat16)
+                    tn_bf[slot] = tn_buf[slot].astype(jnp.bfloat16)
+                pltpu.make_async_copy(out_dma_ref(slot),
                                       slab4(out_hbm, v, b2),
                                       out_sems.at[slot, 0]).start()
-                pltpu.make_async_copy(tn_buf.at[slot],
+                pltpu.make_async_copy(tn_dma_ref(slot),
                                       slab4(tn_hbm, v, b2),
                                       out_sems.at[slot, 1]).start()
 
         @pl.when(L == total + lag - 1)
         def _():
             for v in (2, 3):
-                pltpu.make_async_copy(out_buf.at[v % 2],
+                pltpu.make_async_copy(out_dma_ref(v % 2),
                                       slab4(out_hbm, v, total - 1),
                                       out_sems.at[v % 2, 0]).wait()
-                pltpu.make_async_copy(tn_buf.at[v % 2],
+                pltpu.make_async_copy(tn_dma_ref(v % 2),
                                       slab4(tn_hbm, v, total - 1),
                                       out_sems.at[v % 2, 1]).wait()
 
+    if bf16:
+        def kernel(scal_ref, temp_hbm, pk_hbm, rhs_hbm, op_hbm, forc_hbm,
+                   out_hbm, tn_hbm,
+                   adv_v, T_v, op_buf, aux_buf, rhs_r, tnA, tnB, o1r, pkr,
+                   out_buf, tn_buf, out_bf, tn_bf, rhs_f,
+                   cp, rbuf, h1s, h2s, gavs, go1s, go2s, f2s,
+                   sh_sems, in_sems, out_sems):
+            body(scal_ref, temp_hbm, pk_hbm, rhs_hbm, op_hbm, forc_hbm,
+                 out_hbm, tn_hbm,
+                 adv_v, T_v, op_buf, aux_buf, rhs_r, tnA, tnB, o1r, pkr,
+                 out_buf, tn_buf, cp, rbuf, h1s, h2s, gavs, go1s, go2s, f2s,
+                 sh_sems, in_sems, out_sems,
+                 out_bf=out_bf, tn_bf=tn_bf, rhs_f=rhs_f)
+        return kernel
     return body
 
 
@@ -511,35 +544,52 @@ def fused_sweep_nl(temp4, cls, bcv, bct, rhs4, out_prev4, forcing, scal,
     S_R = c_blocks + 2
     f32 = jnp.float32
 
+    # bf16 payload storage follows the rhs/out_prev dtype (the temp/tn
+    # rings, BCs and all compute stay f32, as in the stream kernel)
+    bf16 = rp4.dtype == jnp.bfloat16
+    pay = rp4.dtype
+
     import math
     slab_bytes = math.prod(slab) * 4
-    # adv/T parity pairs 4, in_buf 4 (op|aux x2), rings S_A + 3*S_B(tnB)
-    # + 4*S_B(out1) + S_P(pk) + 4*S_R(rhs), out/tn bufs 4, cp/rbuf 2,
-    # diss scratch 6
-    scratch_slabs = (4 + 4 + S_A + 7 * S_B + S_P + 4 * S_R + 4 + 2 + 6)
-    vmem_need = scratch_slabs * slab_bytes
+    # adv/T parity pairs 4, op|aux bufs, rings S_A + 3*S_B(tnB)
+    # + 4*S_B(out1) + S_P(pk) + rhs ring, out/tn bufs 4, cp/rbuf 2,
+    # diss scratch 6 (f32-slab equivalents; bf16 halves rhs/op + adds the
+    # downcast buffers and the upcast stage)
+    pay_f = 0.5 if bf16 else 1.0
+    scratch_slabs = (4 + 2 * (1 + pay_f) + S_A + 7 * S_B + S_P
+                     + 4 * S_R * pay_f + 4 + 2 + 6
+                     + (2 * 1.0 + 1 if bf16 else 0))
+    vmem_need = int(scratch_slabs * slab_bytes)
+
+    bf_scratch = []
+    if bf16:
+        bf_scratch = [pltpu.VMEM((2,) + slab, pay),   # out_bf DMA buffers
+                      pltpu.VMEM((2,) + slab, pay),   # tn_bf DMA buffers
+                      pltpu.VMEM(slab, f32)]          # rhs upcast stage
 
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     out, tn = pl.pallas_call(
         _make_kernel(n, sweep_axis, axis_var, exact, c_blocks, n_blocks,
-                     gmerge=gmerge),
+                     gmerge=gmerge, bf16=bf16),
         grid=(n_blocks * c_blocks + c_blocks,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [any_spec] * 5,
         out_specs=(any_spec, any_spec),
-        out_shape=(jax.ShapeDtypeStruct((4, Ap, Bp, Cp), f32),
-                   jax.ShapeDtypeStruct((4, Ap, Bp, Cp), f32)),
+        out_shape=(jax.ShapeDtypeStruct((4, Ap, Bp, Cp), pay),
+                   jax.ShapeDtypeStruct((4, Ap, Bp, Cp), pay)),
         input_output_aliases={4: 0},    # out_prev buffer IS the output layer
         scratch_shapes=[
             pltpu.VMEM((2,) + slab, f32),          # adv1 (block parity)
             pltpu.VMEM((2,) + slab, f32),          # T1
-            pltpu.VMEM((2, 2) + slab, f32),        # iter-1 op|aux
-            pltpu.VMEM((S_R, 4) + slab, f32),      # rhs ring (both iters)
+            pltpu.VMEM((2,) + slab, pay),          # iter-1 op payload
+            pltpu.VMEM((2,) + slab, f32),          # iter-1 aux (temp_v/forc)
+            pltpu.VMEM((S_R, 4) + slab, pay),      # rhs ring (both iters)
             pltpu.VMEM((S_A,) + slab, f32),        # tn1[axis_var] halo ring
             pltpu.VMEM((S_B, 3) + slab, f32),      # tn1 other-vars ring
             pltpu.VMEM((S_B, 4) + slab, f32),      # out1 ring
             pltpu.VMEM((S_P,) + slab, f32),        # pk ring
-            pltpu.VMEM((2,) + slab, f32),          # out2 DMA buffers
-            pltpu.VMEM((2,) + slab, f32),          # tn2 DMA buffers
+            pltpu.VMEM((2,) + slab, f32),          # out2 work buffers
+            pltpu.VMEM((2,) + slab, f32),          # tn2 work buffers
+        ] + bf_scratch + [
             pltpu.VMEM(slab, f32),                 # c' line
             pltpu.VMEM(slab, f32),                 # denom / 1/denom line
             pltpu.VMEM(slab, f32),                 # h1 (j-dim deriv)
