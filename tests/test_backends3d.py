@@ -108,3 +108,23 @@ def test_profiled_step_matches_plain():
                  "SolveSegments_X", "MergeLayer", "EvalDivError"):
         assert name in prof.events, name
     assert prof.events["SolveSegments_X"].count == 2
+
+
+def test_fused_nl_chained_pairs_and_odd_tail():
+    """num_local=4 (two chained pair-kernel invocations) and num_local=3
+    (pair + trailing per-iteration stream call) must match scan — covers
+    the pair chaining and the no-gmerge odd tail."""
+    adi3d, ga, cur, pa, merge_ok = _setup()
+    dt = jnp.float32(0.01)
+    for nl in (4, 3):
+        ref, e0 = adi3d.adi_timestep_3d(cur, cur, ga, dt, 1, nl, pa,
+                                        backend="scan", exact=True,
+                                        compute_error=True)
+        out, e1 = adi3d.adi_timestep_3d(cur, cur, ga, dt, 1, nl, pa,
+                                        backend="fused_nl", exact=True,
+                                        compute_error=True,
+                                        merge_ok=merge_ok)
+        for r, o in zip(ref, out):
+            np.testing.assert_allclose(np.asarray(o), np.asarray(r),
+                                       rtol=0, atol=5e-7)
+        assert abs(float(e0) - float(e1)) < 1e-9
