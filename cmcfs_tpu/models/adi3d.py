@@ -376,19 +376,14 @@ def _solve_nl_fused(axis: int, rhs: State3D, temp: State3D, out: State3D,
     forcing are rebuilt in-kernel from the VMEM-resident merged temp, so
     the grid is streamed once per pair instead of once per iteration (the
     structural ~2x HBM-traffic cut over the reference's per-iteration
-    relaunch, AdiSolver3D.cpp:587-655).  Same caller guarantees as
-    _solve_stream_fused, plus: single-chip only (in-kernel diss needs the
-    cross-block halos that shard boundaries would break)."""
+    relaunch, AdiSolver3D.cpp:587-655).  BOTH iterations' t_phi*diss
+    forcing is computed in-kernel (no XLA stencil pass at all).  Same
+    caller guarantees as _solve_stream_fused, plus: single-chip only
+    (in-kernel diss needs the cross-block halos that shard boundaries
+    would break)."""
     from ..ops.pallas_sweep_nl import fused_sweep_nl
     h = (pa.dx, pa.dy, pa.dz)[axis]
-    if axis == 0:
-        diss = stencil.diss_x_3d(temp.u, temp.v, temp.w, pa.dx, pa.dy, pa.dz)
-    elif axis == 1:
-        diss = stencil.diss_y_3d(temp.u, temp.v, temp.w, pa.dx, pa.dy, pa.dz)
-    else:
-        diss = stencil.diss_z_3d(temp.u, temp.v, temp.w, pa.dx, pa.dy, pa.dz)
-    forcing = pa.t_phi * diss
-    # cross-axis derivative scales for the in-kernel diss of iteration 2,
+    # cross-axis derivative scales for the in-kernel dissipation,
     # in the KERNEL's slab layout: j-dim (blocked 8-row dim) and lane dim
     #   axis 0: slab (x, y, z) -> j = y, lanes = z
     #   axis 1: slab (x, y, z) -> j = x, lanes = z
@@ -411,14 +406,13 @@ def _solve_nl_fused(axis: int, rhs: State3D, temp: State3D, out: State3D,
         sw = lambda t: jnp.swapaxes(t, 1, 2)
         sw4 = lambda t: jnp.swapaxes(t, 2, 3)
         o4, t4 = fused_sweep_nl(sw4(temp4), sw(cls), sw(ga.bc_vel),
-                                sw(ga.bc_temp), sw4(rhs4), sw4(op4),
-                                sw(forcing), scal,
+                                sw(ga.bc_temp), sw4(rhs4), sw4(op4), scal,
                                 sweep_axis=1, axis_var=axis, exact=exact,
                                 gmerge=gmerge)
         o4, t4 = sw4(o4), sw4(t4)
     else:
         o4, t4 = fused_sweep_nl(temp4, cls, ga.bc_vel, ga.bc_temp,
-                                rhs4, op4, forcing, scal,
+                                rhs4, op4, scal,
                                 sweep_axis=axis, axis_var=axis, exact=exact,
                                 gmerge=gmerge)
     if bf16:

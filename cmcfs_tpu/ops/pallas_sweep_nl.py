@@ -11,20 +11,26 @@ traffic of this kernel, which keeps each block's slabs VMEM-resident
 across BOTH local iterations:
 
 * iteration 1 == the stream kernel (in-kernel RHS from rhs/temp slabs,
-  precomputed t_phi*diss forcing, solve, update+merge), except out1/tn1
-  stay in VMEM ring buffers instead of round-tripping through HBM;
-* iteration 2 rebuilds the coefficients from the MERGED temp (tn1) and
-  needs the T-equation forcing diss(tn1) — recomputed IN-KERNEL.  The
-  direction-specific dissipation functions (stencil.diss_{x,y,z}_3d,
-  reference TimeLayer3D.h:553-588) read cross-axis derivatives of ONLY
-  the sweep-direction velocity (uy, uz for the X sweep, ...), so the
-  required halo is one row/lane of tn1[axis_var] from the NEIGHBOR grid
-  blocks — which are still resident in the VMEM rings;
+  solve, update+merge), except out1/tn1 stay in VMEM ring buffers instead
+  of round-tripping through HBM;
+* BOTH iterations' T-equation forcing diss(temp) is computed IN-KERNEL
+  (the reference computes it as a separate full-grid stencil pass,
+  TimeLayer3D.h:553-588).  The direction-specific dissipation reads
+  cross-axis derivatives of ONLY the sweep-direction velocity (uy, uz
+  for the X sweep, ...), so the required halo is one row/lane of that
+  velocity from the NEIGHBOR grid blocks:
+  - iteration 1 differentiates the INPUT temp[axis_var]: its slabs are
+    kept in a deep-prefetched ring (prefetch depth c_blocks+1) so the
+    +-1-lane-block and +-1-row-block neighbors are already resident when
+    block b solves;
+  - iteration 2 differentiates the MERGED tn1[axis_var] from iteration
+    1's result ring (see below);
 * the grid is linearized (j, c)-major and iteration 2 of block b runs
   ``lag = c_blocks`` steps behind iteration 1, when every halo neighbor
   (b-1, b+1, b-c_blocks, b+c_blocks) has its iteration-1 result in a ring
   slot.  Ring sizes: 2*c_blocks+1 slots of tn1[axis_var] (halo ring),
-  c_blocks+1 slots of {tn1 others, out1, pk} (per-cell ring);
+  c_blocks+1 slots of {tn1 others, out1, pk} (per-cell ring),
+  2*c_blocks+2 slots of temp[axis_var] (input halo ring);
 * only iteration 2's results are written to HBM; rhs4 lands in its own
   VMEM ring on iteration 1's stream and is re-read from VMEM by
   iteration 2 — nothing of iteration 2 touches HBM except its outputs;
@@ -32,8 +38,9 @@ across BOTH local iterations:
   (temp <- avg(temp, next) on IN cells) folds into the final direction's
   in-kernel merge, dropping the XLA merge pass.
 
-Per direction (nl=2) HBM traffic: 14 field reads + 8 writes, vs ~30
-reads + 16 writes + 2 XLA diss passes for two stream-kernel invocations.
+Per direction (nl=2) HBM traffic: 13 field reads + 8 writes — no XLA
+stencil passes at all (vs ~30 reads + 16 writes + 2 XLA diss passes for
+two stream-kernel invocations).
 
 Grid-edge blocks read garbage/wrong-block halo values: those only feed
 dissipation at grid-border cells, which are never NODE_IN, so every
@@ -73,6 +80,8 @@ def _make_kernel(n, sweep_axis, axis_var, exact, c_blocks, n_blocks,
     S_P = c_blocks + 2          # pk ring (one extra slot for the prefetch)
     S_R = c_blocks + 2          # rhs ring (written ahead by the prefetch,
                                 # read per-cell by BOTH iterations)
+    S_AV = 2 * c_blocks + 2     # temp[axis_var] input halo ring (prefetched
+                                # c_blocks+1 deep for iteration 1's diss)
     others = [v for v in range(4) if v != axis_var]   # ring-B channels
     ch_of = {v: i for i, v in enumerate(others)}
     o1, o2 = [v for v in range(3) if v != axis_var]   # diss partner vars
@@ -84,11 +93,12 @@ def _make_kernel(n, sweep_axis, axis_var, exact, c_blocks, n_blocks,
         return ((slice(a, b),) if sweep_axis == 0
                 else (slice(None), slice(a, b)))
 
-    def body(scal_ref, temp_hbm, pk_hbm, rhs_hbm, op_hbm, forc_hbm,
+    def body(scal_ref, temp_hbm, pk_hbm, rhs_hbm, op_hbm,
              out_hbm, tn_hbm,
-             adv_v, T_v, op_buf, aux_buf, rhs_r, tnA, tnB, o1r, pkr,
-             out_buf, tn_buf, cp, rbuf, h1s, h2s, gavs, go1s, go2s, f2s,
-             sh_sems, in_sems, out_sems,
+             adv_r, T_v, op_buf, aux_buf, rhs_r, tnA, tnB, o1r, pkr,
+             out_buf, tn_buf, cp, rbuf, h1s, h2s, gavs, go1s, go2s,
+             f1s, f2s,
+             adv_sems, sh_sems, in_sems, out_sems,
              out_bf=None, tn_bf=None, rhs_f=None):
         f32 = jnp.float32
 
@@ -138,21 +148,27 @@ def _make_kernel(n, sweep_axis, axis_var, exact, c_blocks, n_blocks,
                           pl.ds(cc * LANES, LANES)]
 
         # ------------------------------------------------------ DMA helpers
-        def start_shared(b, par):
+        def start_adv(b):
+            s = ring(b, S_AV)
             pltpu.make_async_copy(slab4(temp_hbm, axis_var, b),
-                                  adv_v.at[par], sh_sems.at[par, 0]).start()
+                                  adv_r.at[s], adv_sems.at[s]).start()
+
+        def wait_adv(b):
+            s = ring(b, S_AV)
+            pltpu.make_async_copy(slab4(temp_hbm, axis_var, b),
+                                  adv_r.at[s], adv_sems.at[s]).wait()
+
+        def start_shared(b, par):
             pltpu.make_async_copy(slab4(temp_hbm, 3, b),
-                                  T_v.at[par], sh_sems.at[par, 1]).start()
+                                  T_v.at[par], sh_sems.at[par, 0]).start()
             pltpu.make_async_copy(slab3(pk_hbm, b), pkr.at[ring(b, S_P)],
-                                  sh_sems.at[par, 2]).start()
+                                  sh_sems.at[par, 1]).start()
 
         def wait_shared(par, b):
-            pltpu.make_async_copy(slab4(temp_hbm, axis_var, b),
-                                  adv_v.at[par], sh_sems.at[par, 0]).wait()
             pltpu.make_async_copy(slab4(temp_hbm, 3, b),
-                                  T_v.at[par], sh_sems.at[par, 1]).wait()
+                                  T_v.at[par], sh_sems.at[par, 0]).wait()
             pltpu.make_async_copy(slab3(pk_hbm, b), pkr.at[ring(b, S_P)],
-                                  sh_sems.at[par, 2]).wait()
+                                  sh_sems.at[par, 1]).wait()
 
         def start_inputs(v, slot, b):
             # rhs lands straight in its ring slab: iteration 2 re-reads it
@@ -162,11 +178,7 @@ def _make_kernel(n, sweep_axis, axis_var, exact, c_blocks, n_blocks,
                                   in_sems.at[slot, 0]).start()
             pltpu.make_async_copy(slab4(op_hbm, v, b), op_buf.at[slot],
                                   in_sems.at[slot, 1]).start()
-            if v == 3:
-                pltpu.make_async_copy(slab3(forc_hbm, b),
-                                      aux_buf.at[slot],
-                                      in_sems.at[slot, 2]).start()
-            elif v != axis_var:
+            if v != axis_var and v != 3:
                 pltpu.make_async_copy(slab4(temp_hbm, v, b),
                                       aux_buf.at[slot],
                                       in_sems.at[slot, 2]).start()
@@ -177,9 +189,9 @@ def _make_kernel(n, sweep_axis, axis_var, exact, c_blocks, n_blocks,
                                   in_sems.at[slot, 0]).wait()
             pltpu.make_async_copy(slab4(op_hbm, v, b), op_buf.at[slot],
                                   in_sems.at[slot, 1]).wait()
-            if v != axis_var:
-                src = slab3(forc_hbm, b) if v == 3 else slab4(temp_hbm, v, b)
-                pltpu.make_async_copy(src, aux_buf.at[slot],
+            if v != axis_var and v != 3:
+                pltpu.make_async_copy(slab4(temp_hbm, v, b),
+                                      aux_buf.at[slot],
                                       in_sems.at[slot, 2]).wait()
 
         # --------------------------------------------------- shared chains
@@ -191,7 +203,7 @@ def _make_kernel(n, sweep_axis, axis_var, exact, c_blocks, n_blocks,
                 return carry
             return jax.lax.fori_loop(0, n // 8, chunk, init)
 
-        zero_row = jnp.zeros_like(row(adv_v.at[0], 0))
+        zero_row = jnp.zeros_like(row(adv_r.at[0], 0))
 
         def coeff_pass(adv_ref, pk_ref, vis, for_T):
             """(c', denom) elimination chain shared by the velocity group /
@@ -260,12 +272,105 @@ def _make_kernel(n, sweep_axis, axis_var, exact, c_blocks, n_blocks,
 
             chunked(bwd_body, zero_row)
 
+        # ---------------------------------------- in-kernel dissipation
+        # shared by BOTH iterations: iteration 1 differentiates the input
+        # temp[*] slabs (adv ring + aux), iteration 2 the tn1 rings.  Term
+        # order mirrors ops/stencil.py (diss_x/diss_y/diss_z_3d,
+        # reference TimeLayer3D.h:553-588) for bitwise agreement with the
+        # XLA-compiled scan path.
+        def sw_deriv(src, dst):
+            # dst[p] = (src[p+1] - src[p-1]) * inv2h; chunk edges clamp
+            # (grid-border rows — masked downstream)
+            for m in range(N_MRG):
+                a = m * n // N_MRG
+                b = (m + 1) * n // N_MRG
+                lo = max(a, 1)
+                hi = min(b, n - 1)
+                if sweep_axis == 0:
+                    dst[lo:hi] = (src[lo + 1:hi + 1]
+                                  - src[lo - 1:hi - 1]) * inv2h
+                    if a == 0:
+                        dst[0:1] = (src[1:2] - src[0:1]) * inv2h
+                    if b == n:
+                        dst[n - 1:n] = (src[n - 1:n]
+                                        - src[n - 2:n - 1]) * inv2h
+                else:
+                    dst[:, lo:hi] = (src[:, lo + 1:hi + 1, :]
+                                     - src[:, lo - 1:hi - 1, :]) * inv2h
+                    if a == 0:
+                        dst[:, 0:1] = (src[:, 1:2, :]
+                                       - src[:, 0:1, :]) * inv2h
+                    if b == n:
+                        dst[:, n - 1:n] = (src[:, n - 1:n, :]
+                                           - src[:, n - 2:n - 1, :]) * inv2h
+
+        def cross_derivs(C, Pj, Nj, Pc, Nc):
+            """h1 <- derivative along the blocked (8-row) j-dim of C, h2 <-
+            derivative along the lane dim; edge rows/lanes come from the
+            neighbor-block slabs."""
+            for m in range(N_MRG):
+                if sweep_axis == 0:
+                    # slab (n, 8, LANES): j-dim = axis 1, lanes = axis 2
+                    a = m * n // N_MRG
+                    b = (m + 1) * n // N_MRG
+                    r = slice(a, b)
+                    h1s[r, 1:7, :] = (C[r, 2:8, :] - C[r, 0:6, :]) * inv2h_j
+                    h1s[r, 0:1, :] = (C[r, 1:2, :] - Pj[r, 7:8, :]) * inv2h_j
+                    h1s[r, 7:8, :] = (Nj[r, 0:1, :] - C[r, 6:7, :]) * inv2h_j
+                    h2s[r, :, 1:LANES - 1] = (C[r, :, 2:LANES]
+                                              - C[r, :, 0:LANES - 2]) * inv2h_l
+                    h2s[r, :, 0:1] = (C[r, :, 1:2]
+                                      - Pc[r, :, LANES - 1:LANES]) * inv2h_l
+                    h2s[r, :, LANES - 1:LANES] = (Nc[r, :, 0:1]
+                                                  - C[r, :, LANES - 2:LANES - 1]) * inv2h_l
+                else:
+                    # slab (8, n, LANES): j-dim = axis 0, lanes = axis 2
+                    a = m * n // N_MRG
+                    b = (m + 1) * n // N_MRG
+                    r = slice(a, b)
+                    h1s[1:7, r, :] = (C[2:8, r, :] - C[0:6, r, :]) * inv2h_j
+                    h1s[0:1, r, :] = (C[1:2, r, :] - Pj[7:8, r, :]) * inv2h_j
+                    h1s[7:8, r, :] = (Nj[0:1, r, :] - C[6:7, r, :]) * inv2h_j
+                    h2s[:, r, 1:LANES - 1] = (C[:, r, 2:LANES]
+                                              - C[:, r, 0:LANES - 2]) * inv2h_l
+                    h2s[:, r, 0:1] = (C[:, r, 1:2]
+                                      - Pc[:, r, LANES - 1:LANES]) * inv2h_l
+                    h2s[:, r, LANES - 1:LANES] = (Nc[:, r, 0:1]
+                                                  - C[:, r, LANES - 2:LANES - 1]) * inv2h_l
+
+        def assemble_forcing(dst):
+            # forcing = t_phi * diss; gavs/go1s/go2s/h1s/h2s must be filled
+            for m in range(N_MRG):
+                sl = mrg_sl(m)
+                gav = gavs[sl]
+                go1 = go1s[sl]
+                go2 = go2s[sl]
+                if axis_var == 0:
+                    diss = (2 * gav * gav + go1 * go1 + go2 * go2
+                            + go1 * h1s[sl] + go2 * h2s[sl])
+                elif axis_var == 1:
+                    diss = (go1 * go1 + 2 * gav * gav + go2 * go2
+                            + go1 * h1s[sl] + go2 * h2s[sl])
+                else:
+                    diss = (go1 * go1 + go2 * go2 + 2 * gav * gav
+                            + go1 * h1s[sl] + go2 * h2s[sl])
+                dst[sl] = t_phi * diss
+
+        def adv_nb(b):
+            return adv_r.at[ring(b, S_AV)]
+
         # ========================== PHASE A: iteration 1 for block b1 == L
         @pl.when(L == 0)
         def _():
+            for b in range(min(c_blocks + 2, total)):
+                start_adv(b)
             start_shared(0, 0)
             start_inputs(0, 0, 0)
             start_inputs(1, 1, 0)
+
+        @pl.when((L >= 1) & (L + lag + 1 < total))
+        def _():
+            start_adv(L + lag + 1)
 
         @pl.when(L + 1 < total)
         def _():
@@ -273,8 +378,17 @@ def _make_kernel(n, sweep_axis, axis_var, exact, c_blocks, n_blocks,
 
         @pl.when(L < total)
         def _():
+            @pl.when(L == 0)
+            def _():
+                for b in range(min(c_blocks, total - 1) + 1):
+                    wait_adv(b)
+
+            @pl.when((L >= 1) & (L + lag < total))
+            def _():
+                wait_adv(L + lag)
+
             wait_shared(bp, L)
-            adv1 = adv_v.at[bp]
+            adv1 = adv_nb(L)
             T1 = T_v.at[bp]
             pk1 = pkr.at[ring(L, S_P)]
             rbA = ring(L, S_A)
@@ -284,8 +398,19 @@ def _make_kernel(n, sweep_axis, axis_var, exact, c_blocks, n_blocks,
             for v in range(4):
                 slot = v % 2
                 wait_inputs(v, slot, L)
+                if v == o1:
+                    sw_deriv(aux_buf.at[slot], go1s)
+                if v == o2:
+                    sw_deriv(aux_buf.at[slot], go2s)
                 if v == 3:
                     coeff_pass(adv1, pk1, t_vis_h2, for_T=True)
+                    # iteration-1 forcing from the input temp slabs: the
+                    # cross-axis halos come from the deep-prefetched adv ring
+                    sw_deriv(adv1, gavs)
+                    cross_derivs(adv1, adv_nb(L - c_blocks),
+                                 adv_nb(L + c_blocks),
+                                 adv_nb(L - 1), adv_nb(L + 1))
+                    assemble_forcing(f1s)
                 # stage d' into the out1 ring slab, x into the tn1 ring slab
                 dst_o = o1r.at[rbB, v]
                 dst_t = tnA.at[rbA] if v == axis_var else tnB.at[rbB, ch_of[v]]
@@ -293,7 +418,8 @@ def _make_kernel(n, sweep_axis, axis_var, exact, c_blocks, n_blocks,
                                                   else aux_buf.at[slot])
                 solve_var(v, t_vis_h2 if v == 3 else v_vis_h2,
                           adv1, pk1, T1, rhs_ring_ref(ring(L, S_R), v),
-                          aux_buf.at[slot], tv1, dst_o, dst_t)
+                          f1s if v == 3 else aux_buf.at[slot], tv1,
+                          dst_o, dst_t)
                 # vectorized UpdateSegment + merge (iteration 1):
                 #   out1 = where(written, x, out_prev); tn1 = avg on NODE_IN
                 for m in range(N_MRG):
@@ -324,98 +450,19 @@ def _make_kernel(n, sweep_axis, axis_var, exact, c_blocks, n_blocks,
             pk2 = pkr.at[ring(b2, S_P)]
             T2 = tnB.at[rbB, ch_of[3]]
 
+            def tnA_nb(b):
+                return tnA.at[ring(b, S_A)]
+
             # ---- in-kernel dissipation forcing diss(tn1) for the T eq.
             # sweep-axis derivatives of all three velocities (resident),
             # cross-axis derivatives of the axis_var velocity (halo ring)
-            def sw_deriv(src, dst):
-                # dst[p] = (src[p+1] - src[p-1]) * inv2h; chunk edges clamp
-                # (grid-border rows — masked downstream)
-                for m in range(N_MRG):
-                    a = m * n // N_MRG
-                    b = (m + 1) * n // N_MRG
-                    lo = max(a, 1)
-                    hi = min(b, n - 1)
-                    if sweep_axis == 0:
-                        dst[lo:hi] = (src[lo + 1:hi + 1]
-                                      - src[lo - 1:hi - 1]) * inv2h
-                        if a == 0:
-                            dst[0:1] = (src[1:2] - src[0:1]) * inv2h
-                        if b == n:
-                            dst[n - 1:n] = (src[n - 1:n]
-                                            - src[n - 2:n - 1]) * inv2h
-                    else:
-                        dst[:, lo:hi] = (src[:, lo + 1:hi + 1, :]
-                                         - src[:, lo - 1:hi - 1, :]) * inv2h
-                        if a == 0:
-                            dst[:, 0:1] = (src[:, 1:2, :]
-                                           - src[:, 0:1, :]) * inv2h
-                        if b == n:
-                            dst[:, n - 1:n] = (src[:, n - 1:n, :]
-                                               - src[:, n - 2:n - 1, :]) * inv2h
-
-            def ring_slab_A(b):
-                return tnA.at[ring(b, S_A)]
-
             sw_deriv(tnA.at[rbA], gavs)
             sw_deriv(tnB.at[rbB, ch_of[o1]], go1s)
             sw_deriv(tnB.at[rbB, ch_of[o2]], go2s)
-
-            # h1: derivative along the blocked (8-row) dim of adv2, with
-            # the edge rows from the j-neighbor ring slots
-            C = tnA.at[rbA]
-            Pj = ring_slab_A(b2 - c_blocks)
-            Nj = ring_slab_A(b2 + c_blocks)
-            Pc = ring_slab_A(b2 - 1)
-            Nc = ring_slab_A(b2 + 1)
-            for m in range(N_MRG):
-                sl = mrg_sl(m)
-                if sweep_axis == 0:
-                    # slab (n, 8, LANES): j-dim = axis 1, lanes = axis 2
-                    a = m * n // N_MRG
-                    b = (m + 1) * n // N_MRG
-                    r = slice(a, b)
-                    h1s[r, 1:7, :] = (C[r, 2:8, :] - C[r, 0:6, :]) * inv2h_j
-                    h1s[r, 0:1, :] = (C[r, 1:2, :] - Pj[r, 7:8, :]) * inv2h_j
-                    h1s[r, 7:8, :] = (Nj[r, 0:1, :] - C[r, 6:7, :]) * inv2h_j
-                    h2s[r, :, 1:LANES - 1] = (C[r, :, 2:LANES]
-                                              - C[r, :, 0:LANES - 2]) * inv2h_l
-                    h2s[r, :, 0:1] = (C[r, :, 1:2]
-                                      - Pc[r, :, LANES - 1:LANES]) * inv2h_l
-                    h2s[r, :, LANES - 1:LANES] = (Nc[r, :, 0:1]
-                                                  - C[r, :, LANES - 2:LANES - 1]) * inv2h_l
-                else:
-                    # slab (8, n, LANES): j-dim = axis 0, lanes = axis 2
-                    a = m * n // N_MRG
-                    b = (m + 1) * n // N_MRG
-                    r = slice(a, b)
-                    h1s[1:7, r, :] = (C[2:8, r, :] - C[0:6, r, :]) * inv2h_j
-                    h1s[0:1, r, :] = (C[1:2, r, :] - Pj[7:8, r, :]) * inv2h_j
-                    h1s[7:8, r, :] = (Nj[0:1, r, :] - C[6:7, r, :]) * inv2h_j
-                    h2s[:, r, 1:LANES - 1] = (C[:, r, 2:LANES]
-                                              - C[:, r, 0:LANES - 2]) * inv2h_l
-                    h2s[:, r, 0:1] = (C[:, r, 1:2]
-                                      - Pc[:, r, LANES - 1:LANES]) * inv2h_l
-                    h2s[:, r, LANES - 1:LANES] = (Nc[:, r, 0:1]
-                                                  - C[:, r, LANES - 2:LANES - 1]) * inv2h_l
-
-            # forcing = t_phi * diss, term order mirrors ops/stencil.py
-            # (diss_x/diss_y/diss_z_3d) for bitwise agreement with the
-            # XLA-compiled scan path
-            for m in range(N_MRG):
-                sl = mrg_sl(m)
-                gav = gavs[sl]
-                go1 = go1s[sl]
-                go2 = go2s[sl]
-                if axis_var == 0:
-                    diss = (2 * gav * gav + go1 * go1 + go2 * go2
-                            + go1 * h1s[sl] + go2 * h2s[sl])
-                elif axis_var == 1:
-                    diss = (go1 * go1 + 2 * gav * gav + go2 * go2
-                            + go1 * h1s[sl] + go2 * h2s[sl])
-                else:
-                    diss = (go1 * go1 + go2 * go2 + 2 * gav * gav
-                            + go1 * h1s[sl] + go2 * h2s[sl])
-                f2s[sl] = t_phi * diss
+            cross_derivs(tnA.at[rbA], tnA_nb(b2 - c_blocks),
+                         tnA_nb(b2 + c_blocks),
+                         tnA_nb(b2 - 1), tnA_nb(b2 + 1))
+            assemble_forcing(f2s)
 
             # ---- solve the four systems of iteration 2
             rbR = ring(b2, S_R)
@@ -484,17 +531,18 @@ def _make_kernel(n, sweep_axis, axis_var, exact, c_blocks, n_blocks,
                                       out_sems.at[v % 2, 1]).wait()
 
     if bf16:
-        def kernel(scal_ref, temp_hbm, pk_hbm, rhs_hbm, op_hbm, forc_hbm,
+        def kernel(scal_ref, temp_hbm, pk_hbm, rhs_hbm, op_hbm,
                    out_hbm, tn_hbm,
-                   adv_v, T_v, op_buf, aux_buf, rhs_r, tnA, tnB, o1r, pkr,
+                   adv_r, T_v, op_buf, aux_buf, rhs_r, tnA, tnB, o1r, pkr,
                    out_buf, tn_buf, out_bf, tn_bf, rhs_f,
-                   cp, rbuf, h1s, h2s, gavs, go1s, go2s, f2s,
-                   sh_sems, in_sems, out_sems):
-            body(scal_ref, temp_hbm, pk_hbm, rhs_hbm, op_hbm, forc_hbm,
+                   cp, rbuf, h1s, h2s, gavs, go1s, go2s, f1s, f2s,
+                   adv_sems, sh_sems, in_sems, out_sems):
+            body(scal_ref, temp_hbm, pk_hbm, rhs_hbm, op_hbm,
                  out_hbm, tn_hbm,
-                 adv_v, T_v, op_buf, aux_buf, rhs_r, tnA, tnB, o1r, pkr,
-                 out_buf, tn_buf, cp, rbuf, h1s, h2s, gavs, go1s, go2s, f2s,
-                 sh_sems, in_sems, out_sems,
+                 adv_r, T_v, op_buf, aux_buf, rhs_r, tnA, tnB, o1r, pkr,
+                 out_buf, tn_buf, cp, rbuf, h1s, h2s, gavs, go1s, go2s,
+                 f1s, f2s,
+                 adv_sems, sh_sems, in_sems, out_sems,
                  out_bf=out_bf, tn_bf=tn_bf, rhs_f=rhs_f)
         return kernel
     return body
@@ -503,18 +551,18 @@ def _make_kernel(n, sweep_axis, axis_var, exact, c_blocks, n_blocks,
 @functools.partial(jax.jit,
                    static_argnames=("sweep_axis", "axis_var", "exact",
                                     "gmerge"))
-def fused_sweep_nl(temp4, cls, bcv, bct, rhs4, out_prev4, forcing, scal,
+def fused_sweep_nl(temp4, cls, bcv, bct, rhs4, out_prev4, scal,
                    sweep_axis: int, axis_var: int, exact: bool = True,
                    gmerge: bool = False):
     """Two fused local iterations; returns (out2_4, temp2_4).
 
-    Arguments as pallas_sweep_stream.fused_sweep_stream, except scal is
-    (8,) f32 = [v_vis_h2, t_vis_h2, 3/dt, 1/(2h_sweep), v_T, t_phi,
-    1/(2h_jdim), 1/(2h_lane)] — the last two are the cross-axis derivative
-    scales of the in-kernel dissipation (j-dim = the blocked 8-row slab
-    dim, lane = the 128-lane slab dim, in the KERNEL's possibly-swapped
-    layout).  ``forcing`` is iteration 1's t_phi*diss(temp) (XLA-side, as
-    for the stream kernel); iteration 2's is recomputed in-kernel.
+    Arguments as pallas_sweep_stream.fused_sweep_stream minus the
+    ``forcing`` input (BOTH iterations' t_phi*diss forcing is computed
+    in-kernel); scal is (8,) f32 = [v_vis_h2, t_vis_h2, 3/dt,
+    1/(2h_sweep), v_T, t_phi, 1/(2h_jdim), 1/(2h_lane)] — the last two are
+    the cross-axis derivative scales of the in-kernel dissipation (j-dim =
+    the blocked 8-row slab dim, lane = the 128-lane slab dim, in the
+    KERNEL's possibly-swapped layout).
     """
     _, A, B, C = temp4.shape
     Cp = _ceil_to(C, LANES)
@@ -533,7 +581,6 @@ def fused_sweep_nl(temp4, cls, bcv, bct, rhs4, out_prev4, forcing, scal,
     pkp = pad3(pack_masks(cls, bcv, bct))
     rp4 = pad4(rhs4)
     op4 = pad4(out_prev4)
-    fp = pad3(forcing)
 
     slab = (Ap, S_TILE, LANES) if sweep_axis == 0 else (S_TILE, Bp, LANES)
     n_blocks = (Bp if sweep_axis == 0 else Ap) // S_TILE
@@ -542,6 +589,7 @@ def fused_sweep_nl(temp4, cls, bcv, bct, rhs4, out_prev4, forcing, scal,
     S_B = c_blocks + 1
     S_P = c_blocks + 2
     S_R = c_blocks + 2
+    S_AV = 2 * c_blocks + 2
     f32 = jnp.float32
 
     # bf16 payload storage follows the rhs/out_prev dtype (the temp/tn
@@ -551,13 +599,13 @@ def fused_sweep_nl(temp4, cls, bcv, bct, rhs4, out_prev4, forcing, scal,
 
     import math
     slab_bytes = math.prod(slab) * 4
-    # adv/T parity pairs 4, op|aux bufs, rings S_A + 3*S_B(tnB)
-    # + 4*S_B(out1) + S_P(pk) + rhs ring, out/tn bufs 4, cp/rbuf 2,
-    # diss scratch 6 (f32-slab equivalents; bf16 halves rhs/op + adds the
-    # downcast buffers and the upcast stage)
+    # adv input ring S_AV + T parity pair 2, op|aux bufs, rings
+    # S_A + 3*S_B(tnB) + 4*S_B(out1) + S_P(pk) + rhs ring, out/tn bufs 4,
+    # cp/rbuf 2, diss scratch 7 (f32-slab equivalents; bf16 halves rhs/op
+    # + adds the downcast buffers and the upcast stage)
     pay_f = 0.5 if bf16 else 1.0
-    scratch_slabs = (4 + 2 * (1 + pay_f) + S_A + 7 * S_B + S_P
-                     + 4 * S_R * pay_f + 4 + 2 + 6
+    scratch_slabs = (S_AV + 2 + 2 * (1 + pay_f) + S_A + 7 * S_B + S_P
+                     + 4 * S_R * pay_f + 4 + 2 + 7
                      + (2 * 1.0 + 1 if bf16 else 0))
     vmem_need = int(scratch_slabs * slab_bytes)
 
@@ -566,22 +614,21 @@ def fused_sweep_nl(temp4, cls, bcv, bct, rhs4, out_prev4, forcing, scal,
         bf_scratch = [pltpu.VMEM((2,) + slab, pay),   # out_bf DMA buffers
                       pltpu.VMEM((2,) + slab, pay),   # tn_bf DMA buffers
                       pltpu.VMEM(slab, f32)]          # rhs upcast stage
-
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     out, tn = pl.pallas_call(
         _make_kernel(n, sweep_axis, axis_var, exact, c_blocks, n_blocks,
                      gmerge=gmerge, bf16=bf16),
         grid=(n_blocks * c_blocks + c_blocks,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [any_spec] * 5,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [any_spec] * 4,
         out_specs=(any_spec, any_spec),
         out_shape=(jax.ShapeDtypeStruct((4, Ap, Bp, Cp), pay),
                    jax.ShapeDtypeStruct((4, Ap, Bp, Cp), pay)),
         input_output_aliases={4: 0},    # out_prev buffer IS the output layer
         scratch_shapes=[
-            pltpu.VMEM((2,) + slab, f32),          # adv1 (block parity)
-            pltpu.VMEM((2,) + slab, f32),          # T1
+            pltpu.VMEM((S_AV,) + slab, f32),       # temp[axis_var] halo ring
+            pltpu.VMEM((2,) + slab, f32),          # T1 (block parity)
             pltpu.VMEM((2,) + slab, pay),          # iter-1 op payload
-            pltpu.VMEM((2,) + slab, f32),          # iter-1 aux (temp_v/forc)
+            pltpu.VMEM((2,) + slab, f32),          # iter-1 aux (temp o1/o2)
             pltpu.VMEM((S_R, 4) + slab, pay),      # rhs ring (both iters)
             pltpu.VMEM((S_A,) + slab, f32),        # tn1[axis_var] halo ring
             pltpu.VMEM((S_B, 3) + slab, f32),      # tn1 other-vars ring
@@ -597,8 +644,10 @@ def fused_sweep_nl(temp4, cls, bcv, bct, rhs4, out_prev4, forcing, scal,
             pltpu.VMEM(slab, f32),                 # gav sweep-deriv
             pltpu.VMEM(slab, f32),                 # go1
             pltpu.VMEM(slab, f32),                 # go2
-            pltpu.VMEM(slab, f32),                 # forcing2
-            pltpu.SemaphoreType.DMA((2, 3)),       # sh_sems [par, adv|T|pk]
+            pltpu.VMEM(slab, f32),                 # forcing1 (iter-1 diss)
+            pltpu.VMEM(slab, f32),                 # forcing2 (iter-2 diss)
+            pltpu.SemaphoreType.DMA((S_AV,)),      # adv ring sems
+            pltpu.SemaphoreType.DMA((2, 2)),       # sh_sems [par, T|pk]
             pltpu.SemaphoreType.DMA((2, 3)),       # in_sems [slot, r|o|a]
             pltpu.SemaphoreType.DMA((2, 2)),       # out_sems
         ],
@@ -608,6 +657,6 @@ def fused_sweep_nl(temp4, cls, bcv, bct, rhs4, out_prev4, forcing, scal,
                                  max(48 * 1024 * 1024,
                                      int(vmem_need * 1.3)))),
         interpret=(jax.default_backend() != "tpu"),
-    )(scal, tp4, pkp, rp4, op4, fp)
+    )(scal, tp4, pkp, rp4, op4)
 
     return out[:, :A, :B, :C], tn[:, :A, :B, :C]
