@@ -361,8 +361,8 @@ def _nl_pair_active(axis: int, n_sweep: int, backend: str, merge_ok_ax: bool,
     """Static predicate: does this direction run the num_local-pair kernel
     (pallas_sweep_nl) for its local iterations?  Shared by the dispatch and
     by adi_timestep_3d's gmerge-fold decision so they can never diverge."""
-    if (backend not in ("fused_nl", "fused_bf16") or plan is not None
-            or num_local < 2):
+    if (backend not in ("fused_nl", "fused_bf16") or num_local < 2
+            or (plan is not None and axis == 0)):
         return False
     from ..ops.pallas_sweep_nl import MAX_SWEEP
     return merge_ok_ax and dual_free and n_sweep <= MAX_SWEEP
@@ -370,7 +370,7 @@ def _nl_pair_active(axis: int, n_sweep: int, backend: str, merge_ok_ax: bool,
 
 def _solve_nl_fused(axis: int, rhs: State3D, temp: State3D, out: State3D,
                     ga: GridArrays3D, dt, pa: ParamsArgs3D, exact: bool,
-                    gmerge: bool = False, bf16: bool = False):
+                    gmerge: bool = False, bf16: bool = False, plan=None):
     """num_local-PAIR fusion: TWO local iterations in one kernel invocation
     (ops/pallas_sweep_nl.py) — iteration 2's coefficients and dissipation
     forcing are rebuilt in-kernel from the VMEM-resident merged temp, so
@@ -378,9 +378,22 @@ def _solve_nl_fused(axis: int, rhs: State3D, temp: State3D, out: State3D,
     structural ~2x HBM-traffic cut over the reference's per-iteration
     relaunch, AdiSolver3D.cpp:587-655).  BOTH iterations' t_phi*diss
     forcing is computed in-kernel (no XLA stencil pass at all).  Same
-    caller guarantees as _solve_stream_fused, plus: single-chip only
-    (in-kernel diss needs the cross-block halos that shard boundaries
-    would break)."""
+    caller guarantees as _solve_stream_fused.
+
+    ``plan`` (Y/Z directions only): the in-kernel dissipation needs a
+    +-1-plane halo across the sharded grid-X axis — for iteration 1 the
+    neighbor's temp planes, for iteration 2 the neighbor's ITER-1 result,
+    which no collective can deliver mid-kernel.  Instead each shard
+    PRE-exchanges one boundary X-plane of every kernel input (ppermute
+    over ICI; edge shards get zeros — physical border planes are never
+    NODE_IN, so their diss values are masked), runs the pair kernel on
+    the 1-plane-extended domain, and discards the halo planes of the
+    outputs.  The halo plane's own sweep-direction line solve is thereby
+    recomputed redundantly per shard — exactly the value iteration 2's
+    cross-shard derivative needs, bitwise-identical to the owning shard's
+    (same line, same inputs, same recurrence).  The reference's analog
+    ships whole halo layers between GPUs per iteration
+    (TimeLayer3D.h:158-335 syncHalos)."""
     from ..ops.pallas_sweep_nl import fused_sweep_nl
     h = (pa.dx, pa.dy, pa.dz)[axis]
     # cross-axis derivative scales for the in-kernel dissipation,
@@ -402,19 +415,54 @@ def _solve_nl_fused(axis: int, rhs: State3D, temp: State3D, out: State3D,
         rhs4 = rhs4.astype(jnp.bfloat16)
         op4 = op4.astype(jnp.bfloat16)
     cls = ga.cls_a[axis]
-    if axis == 2:
-        sw = lambda t: jnp.swapaxes(t, 1, 2)
-        sw4 = lambda t: jnp.swapaxes(t, 2, 3)
-        o4, t4 = fused_sweep_nl(sw4(temp4), sw(cls), sw(ga.bc_vel),
-                                sw(ga.bc_temp), sw4(rhs4), sw4(op4), scal,
-                                sweep_axis=1, axis_var=axis, exact=exact,
-                                gmerge=gmerge)
-        o4, t4 = sw4(o4), sw4(t4)
+
+    def call_kernel(t4, c3, bv3, bt3, r4, o4_, scal_):
+        if axis == 2:
+            sw = lambda t: jnp.swapaxes(t, 1, 2)
+            sw4 = lambda t: jnp.swapaxes(t, 2, 3)
+            o4x, t4x = fused_sweep_nl(sw4(t4), sw(c3), sw(bv3), sw(bt3),
+                                      sw4(r4), sw4(o4_), scal_,
+                                      sweep_axis=1, axis_var=axis,
+                                      exact=exact, gmerge=gmerge)
+            return sw4(o4x), sw4(t4x)
+        return fused_sweep_nl(t4, c3, bv3, bt3, r4, o4_, scal_,
+                              sweep_axis=axis, axis_var=axis, exact=exact,
+                              gmerge=gmerge)
+
+    if plan is None:
+        o4, t4 = call_kernel(temp4, cls, ga.bc_vel, ga.bc_temp,
+                             rhs4, op4, scal)
     else:
-        o4, t4 = fused_sweep_nl(temp4, cls, ga.bc_vel, ga.bc_temp,
-                                rhs4, op4, scal,
-                                sweep_axis=axis, axis_var=axis, exact=exact,
-                                gmerge=gmerge)
+        from jax.sharding import PartitionSpec as P
+        ax = plan.axis
+        nsh = plan.mesh.shape[ax]
+        spec3 = P(ax, None, None)
+        spec4 = P(None, ax, None, None)
+        fwd = [(i, i + 1) for i in range(nsh - 1)]   # i's last -> i+1's left
+        bwd = [(i + 1, i) for i in range(nsh - 1)]   # i's first -> i-1's right
+
+        @functools.partial(jax.shard_map, mesh=plan.mesh,
+                           in_specs=(spec4, spec3, spec3, spec3, spec4,
+                                     spec4, P(None)),
+                           out_specs=(spec4, spec4), check_vma=False)
+        def run(t4_, c3_, bv3_, bt3_, r4_, o4__, scal_):
+            def ext(arr, xdim):
+                first = jax.lax.slice_in_dim(arr, 0, 1, axis=xdim)
+                if nsh == 1:
+                    z = jnp.zeros_like(first)
+                    return jnp.concatenate([z, arr, z], axis=xdim)
+                last = jax.lax.slice_in_dim(arr, arr.shape[xdim] - 1,
+                                            arr.shape[xdim], axis=xdim)
+                lh = jax.lax.ppermute(last, ax, fwd)
+                rh = jax.lax.ppermute(first, ax, bwd)
+                return jnp.concatenate([lh, arr, rh], axis=xdim)
+
+            o4x, t4x = call_kernel(ext(t4_, 1), ext(c3_, 0), ext(bv3_, 0),
+                                   ext(bt3_, 0), ext(r4_, 1), ext(o4__, 1),
+                                   scal_)
+            return o4x[:, 1:-1], t4x[:, 1:-1]
+
+        o4, t4 = run(temp4, cls, ga.bc_vel, ga.bc_temp, rhs4, op4, scal)
     if bf16:
         o4 = o4.astype(jnp.float32)
         t4 = t4.astype(jnp.float32)
@@ -436,9 +484,9 @@ def _solve_direction_3d(axis: int, rhs: State3D, temp: State3D, out_layer: State
     if (backend in ("fused_full", "fused_bf16", "fused_nl")
             and merge_ok and ga.cls_b[axis] is None and ok_size
             and (plan is None or axis != 0)):
-        # under a mesh the Y/Z stream kernels run per shard (shard_map in
-        # _solve_stream_fused); the X direction falls through to the
-        # resharding fused_dma path below
+        # under a mesh the Y/Z directions run per shard (nl-pair kernel
+        # with halo pre-exchange, or the stream kernel); the X direction
+        # falls through to the resharding fused_dma path below
         out = out_layer
         n_left = num_local
         if _nl_pair_active(axis, n_sweep, backend, merge_ok,
@@ -450,7 +498,8 @@ def _solve_direction_3d(axis: int, rhs: State3D, temp: State3D, out_layer: State
                 g = gmerge and (k == pairs - 1) and num_local % 2 == 0
                 temp, out = _solve_nl_fused(axis, rhs, temp, out, ga, dt,
                                             pa, exact, gmerge=g,
-                                            bf16=(backend == "fused_bf16"))
+                                            bf16=(backend == "fused_bf16"),
+                                            plan=plan)
             n_left = num_local % 2
         fused_dir = functools.partial(
             _solve_stream_fused, bf16=(backend == "fused_bf16"),
@@ -579,13 +628,14 @@ def adi_timestep_3d(cur: State3D, nxt_prev: State3D, ga: GridArrays3D, dt,
     if plan is not None:
         # Sharded runs use the fused kernels via shard_map (the reference
         # runs its fused CUDA kernels inside the multi-GPU configuration
-        # likewise, AdiSolver3D.cu:524-640): the full-fusion stream kernel
-        # per shard for the Y/Z directions (_solve_stream_fused), the
-        # manual-DMA sweep with an all_to_all reshard for X
-        # (_sharded_fused).  The two-pass "pallas" backend would run on
-        # GSPMD-sharded row arrays without a shard_map -> scan.
+        # likewise, AdiSolver3D.cu:524-640): the num_local-pair kernel per
+        # shard with a 1-plane halo pre-exchange for the Y/Z directions
+        # (_solve_nl_fused, stream kernel for odd tails), the manual-DMA
+        # sweep with an all_to_all reshard for X (_sharded_fused).  The
+        # two-pass "pallas" backend would run on GSPMD-sharded row arrays
+        # without a shard_map -> scan.
         if backend == "auto":
-            backend = ("fused_full" if jax.default_backend() == "tpu"
+            backend = ("fused_nl" if jax.default_backend() == "tpu"
                        else "fused")
         elif backend == "pallas":
             backend = "scan"

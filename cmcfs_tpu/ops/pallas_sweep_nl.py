@@ -48,9 +48,10 @@ consumer masks them (same argument as the jnp.roll wrap in ops/stencil.py).
 
 Caller guarantees (as pallas_sweep_stream): no dual endpoints, interior
 rows == NODE_IN for this axis, sweep length within MAX_SWEEP, num_local
-pair semantics (this kernel performs exactly TWO local iterations),
-single-chip (sharded Y/Z shards lack the cross-shard halo for the
-in-kernel diss — the per-iteration stream kernel handles that case).
+pair semantics (this kernel performs exactly TWO local iterations).
+Sharded Y/Z callers must pre-exchange a 1-plane halo across the shard
+axis so the in-kernel diss sees valid cross-shard neighbors
+(models/adi3d._solve_nl_fused's ppermute extension).
 """
 from __future__ import annotations
 

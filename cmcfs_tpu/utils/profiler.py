@@ -78,20 +78,39 @@ class Profiler:
         finally:
             self.stop(name)
 
-    def report(self, csv: bool = False) -> str:
+    def report(self, csv: bool = False, overhead_ms: float = None) -> str:
+        """``overhead_ms``: per-section sync cost (e.g. the measured axon
+        tunnel fetch round-trip) to subtract — adds a net-of-overhead
+        average column so event times compare across link conditions."""
         rows = sorted(self.events.items(), key=lambda kv: -kv[1].total)
         wall = time.perf_counter() - self._wall_start
         if csv:
-            out = ["event,count,total_ms,avg_ms"]
+            hdr = "event,count,total_ms,avg_ms"
+            if overhead_ms is not None:
+                hdr += ",net_avg_ms"
+            out = [hdr]
             for name, ev in rows:
-                out.append(f"{name},{ev.count},{ev.total*1e3:.3f},"
-                           f"{ev.total*1e3/max(ev.count,1):.3f}")
+                line = (f"{name},{ev.count},{ev.total*1e3:.3f},"
+                        f"{ev.total*1e3/max(ev.count,1):.3f}")
+                if overhead_ms is not None:
+                    net = max(ev.total*1e3/max(ev.count, 1) - overhead_ms, 0.0)
+                    line += f",{net:.3f}"
+                out.append(line)
             out.append(f"overall_sec,,{wall:.3f},")
             return "\n".join(out)
-        out = [f"{'event':<24}{'count':>8}{'total ms':>14}{'avg ms':>12}"]
+        hdr = f"{'event':<24}{'count':>8}{'total ms':>14}{'avg ms':>12}"
+        if overhead_ms is not None:
+            hdr += f"{'net avg ms':>14}"
+        out = [hdr]
         for name, ev in rows:
-            out.append(f"{name:<24}{ev.count:>8}{ev.total*1e3:>14.3f}"
-                       f"{ev.total*1e3/max(ev.count,1):>12.3f}")
+            line = (f"{name:<24}{ev.count:>8}{ev.total*1e3:>14.3f}"
+                    f"{ev.total*1e3/max(ev.count,1):>12.3f}")
+            if overhead_ms is not None:
+                net = max(ev.total*1e3/max(ev.count, 1) - overhead_ms, 0.0)
+                line += f"{net:>14.3f}"
+            out.append(line)
+        if overhead_ms is not None:
+            out.append(f"(net = avg - {overhead_ms:.1f} ms sync overhead)")
         out.append(f"overall: {wall:.3f} sec")
         return "\n".join(out)
 

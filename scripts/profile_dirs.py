@@ -52,7 +52,21 @@ def main():
                                                 backend=args.backend,
                                                 merge_ok=merge_ok)
         state, prev = new, state
-    print(prof.report(csv=args.csv))
+
+    # measure the per-section sync constant (each section ends with a
+    # float(jnp.sum(u)) fetch; through the axon tunnel that round-trip
+    # dominates short sections) on already-materialized data, and report
+    # net-of-overhead times next to the raw ones
+    import time
+    float(jnp.sum(state.u))
+    const = min(_timed_fetch(jnp, time, state.u) for _ in range(5))
+    print(prof.report(csv=args.csv, overhead_ms=const * 1e3))
+
+
+def _timed_fetch(jnp, time, arr):
+    t0 = time.perf_counter()
+    float(jnp.sum(arr))
+    return time.perf_counter() - t0
 
 
 if __name__ == "__main__":

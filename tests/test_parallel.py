@@ -302,6 +302,45 @@ def test_sharded_stream_fused_matches_unsharded():
                                    rtol=2e-5, atol=1e-6)
 
 
+def test_sharded_nl_pair_matches_unsharded():
+    """Sharded fused_nl: the Y/Z directions run the num_local-pair kernel
+    per shard with a 1-plane ppermute halo pre-exchange (the in-kernel
+    dissipation's cross-shard derivative); X reshards via the fused_dma
+    path.  Must equal the unsharded fused_nl step (which itself is
+    bitwise vs fused_full/scan, test_backends3d)."""
+    import __graft_entry__ as g
+    from cmcfs_tpu.models import adi3d
+    from cmcfs_tpu.core.types import NodeType
+    from cmcfs_tpu.ops.masks import INTERIOR
+    from cmcfs_tpu.parallel.mesh import make_x_mesh
+
+    _, ga, cur, pa = g._setup(32, 19, 21, "scan")
+    is_in = np.asarray(ga.types) == NodeType.IN
+    merge_ok = tuple(
+        bool(((np.asarray(ga.cls_a[ax]) == INTERIOR) == is_in).all())
+        for ax in range(3))
+    assert merge_ok[1] and merge_ok[2], "fixture must fold merges on Y/Z"
+    dt = jnp.float32(0.01)
+
+    plan = make_x_mesh(8)
+    cur_s = plan.shard_state(cur)
+    ga_s = plan.shard_grid(ga)
+
+    ref, sh = cur, cur_s
+    for _ in range(2):
+        ref, _ = adi3d.adi_timestep_3d(ref, ref, ga, dt, 2, 2, pa,
+                                       backend="fused_nl",
+                                       compute_error=False,
+                                       merge_ok=merge_ok)
+        sh, _ = adi3d.adi_timestep_3d(sh, sh, ga_s, dt, 2, 2, pa,
+                                      backend="fused_nl",
+                                      compute_error=False,
+                                      merge_ok=merge_ok, plan=plan)
+    for r, s in zip(ref, sh):
+        np.testing.assert_allclose(np.asarray(s), np.asarray(r),
+                                   rtol=0, atol=5e-7)
+
+
 def test_sharded_long_line_fused_matches_scan():
     """Sweeps beyond the VMEM line cap (>288) keep the fused path under a
     mesh: the chunked long-line kernel runs per shard (Y/Z) and after the
