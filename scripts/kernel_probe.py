@@ -162,6 +162,90 @@ def make_probe(n, mode):
 
             jax.lax.fori_loop(0, n // 8, bwd_chunk, zero)
 
+        def compute_shared(interleave):
+            """Real-kernel structure: ONE coefficient chain (c', 1/denom
+            stored), then the four variables' d-elimination + backward
+            chains — sequentially (as pallas_sweep_nl does today) or
+            interleaved per row step (four independent single-VREG chains
+            in flight, hiding the serial-step latency)."""
+            zero = jnp.zeros_like(adv_v[:, 0, :])
+
+            def chunked(body, init):
+                def chunk(k, carry):
+                    base = k * 8
+                    for i in range(8):
+                        carry = body(base + i, carry)
+                    return carry
+                return jax.lax.fori_loop(0, n // 8, chunk, init)
+
+            def coeff(p, c_prev):
+                adv = adv_v[:, p, :]
+                a = -adv * 0.5 - 1.0
+                b = 3.0 + pk_v[:, p, :]
+                c = adv * 0.5 - 1.0
+                denom = b - a * c_prev
+                r = pl.reciprocal(denom, approx=False)
+                c_new = c * r
+                cp[:, p, :] = c_new
+                rbuf[:, p, :] = r
+                return c_new
+
+            chunked(coeff, zero)
+
+            dsts = [out_buf.at[0], out_buf.at[1], tn_buf.at[0], tn_buf.at[1]]
+            dbs = [in_buf.at[0, 0], in_buf.at[0, 1],
+                   in_buf.at[1, 0], in_buf.at[1, 1]]
+
+            if not interleave:
+                for q in range(4):
+                    def fwd(p, d_prev, q=q):
+                        adv = adv_v[:, p, :]
+                        a = -adv * 0.5 - 1.0
+                        d_new = (dbs[q][:, p, :]
+                                 - d_prev * a) * rbuf[:, p, :]
+                        dsts[q][:, p, :] = d_new
+                        return d_new
+
+                    chunked(fwd, zero)
+
+                    def bwd(qq, x_next, q=q):
+                        p = n - 1 - qq
+                        x = dsts[q][:, p, :] - cp[:, p, :] * x_next
+                        dsts[q][:, p, :] = x
+                        return x
+
+                    chunked(bwd, zero)
+                return
+
+            def fwd4(p, ds):
+                adv = adv_v[:, p, :]
+                a = -adv * 0.5 - 1.0
+                r = rbuf[:, p, :]
+                new = []
+                for q in range(4):
+                    d_new = (dbs[q][:, p, :] - ds[q] * a) * r
+                    dsts[q][:, p, :] = d_new
+                    new.append(d_new)
+                return tuple(new)
+
+            chunked(fwd4, (zero,) * 4)
+
+            def bwd4(qq, xs):
+                p = n - 1 - qq
+                cpr = cp[:, p, :]
+                new = []
+                for q in range(4):
+                    x = dsts[q][:, p, :] - cpr * xs[q]
+                    dsts[q][:, p, :] = x
+                    new.append(x)
+                return tuple(new)
+
+            chunked(bwd4, (zero,) * 4)
+
+        if mode in ("comps", "compi"):
+            compute_shared(interleave=(mode == "compi"))
+            return
+
         for v in range(4):
             slot = v % 2
             if mode in ("dma", "full"):
@@ -234,7 +318,9 @@ def main():
     rhs4 = jnp.ones((4, n, n, n), jnp.float32)
     forc = jnp.ones((n, n, n), jnp.float32)
 
-    for mode in ("dma", "comp", "comp2", "full"):
+    ap2_modes = os.environ.get("PROBE_MODES",
+                               "dma,comp,comp2,comps,compi,full")
+    for mode in ap2_modes.split(","):
         run = make_probe(n, mode)
         op4 = jnp.zeros((4, n, n, n), jnp.float32)
         o, t = run(temp4, rhs4, op4, forc)
