@@ -361,8 +361,12 @@ def _nl_pair_active(axis: int, n_sweep: int, backend: str, merge_ok_ax: bool,
     """Static predicate: does this direction run the num_local-pair kernel
     (pallas_sweep_nl) for its local iterations?  Shared by the dispatch and
     by adi_timestep_3d's gmerge-fold decision so they can never diverge."""
-    if (backend not in ("fused_nl", "fused_bf16") or num_local < 2
-            or (plan is not None and axis == 0)):
+    if backend not in ("fused_nl", "fused_bf16") or num_local < 2:
+        return False
+    if plan is not None and axis == 0 and num_local % 2 != 0:
+        # a trailing odd local iteration would need the per-iteration
+        # stream kernel, which cannot run on resharded X lines — fall back
+        # to the fused_dma reshard path for the whole direction
         return False
     from ..ops.pallas_sweep_nl import MAX_SWEEP
     return merge_ok_ax and dual_free and n_sweep <= MAX_SWEEP
@@ -433,11 +437,36 @@ def _solve_nl_fused(axis: int, rhs: State3D, temp: State3D, out: State3D,
         o4, t4 = call_kernel(temp4, cls, ga.bc_vel, ga.bc_temp,
                              rhs4, op4, scal)
     else:
-        from jax.sharding import PartitionSpec as P
+        from jax.sharding import NamedSharding, PartitionSpec as P
         ax = plan.axis
         nsh = plan.mesh.shape[ax]
-        spec3 = P(ax, None, None)
-        spec4 = P(None, ax, None, None)
+        bcv, bct = ga.bc_vel, ga.bc_temp
+        padB = 0
+        if axis == 0:
+            # X lines span the shards: reshard so the Y batch dim splits
+            # and the lines become device-local (the fused_dma path's
+            # all_to_all transpose — but the pair kernel takes the raw
+            # fields, not prebuilt rows, and runs BOTH local iterations
+            # per reshard).  The sharded Y dim is the kernel's j-dim, so
+            # the same 1-plane halo pre-exchange applies, along Y; padded
+            # batch rows are identity rows (cls 0), cropped after.
+            B = temp4.shape[2]
+            padB = (-B) % nsh
+            if padB:
+                pY3 = ((0, 0), (0, padB), (0, 0))
+                pY4 = ((0, 0),) + pY3
+                temp4 = jnp.pad(temp4, pY4)
+                rhs4 = jnp.pad(rhs4, pY4)
+                op4 = jnp.pad(op4, pY4)
+                cls = jnp.pad(cls, pY3)
+                bcv = jnp.pad(bcv, pY3)
+                bct = jnp.pad(bct, pY3)
+            spec3 = P(None, ax, None)
+            hdim3, hdim4 = 1, 2       # halo/shard dim: Y
+        else:
+            spec3 = P(ax, None, None)
+            hdim3, hdim4 = 0, 1       # halo/shard dim: X
+        spec4 = P(None, *spec3)
         fwd = [(i, i + 1) for i in range(nsh - 1)]   # i's last -> i+1's left
         bwd = [(i + 1, i) for i in range(nsh - 1)]   # i's first -> i-1's right
 
@@ -457,12 +486,23 @@ def _solve_nl_fused(axis: int, rhs: State3D, temp: State3D, out: State3D,
                 rh = jax.lax.ppermute(first, ax, bwd)
                 return jnp.concatenate([lh, arr, rh], axis=xdim)
 
-            o4x, t4x = call_kernel(ext(t4_, 1), ext(c3_, 0), ext(bv3_, 0),
-                                   ext(bt3_, 0), ext(r4_, 1), ext(o4__, 1),
+            o4x, t4x = call_kernel(ext(t4_, hdim4), ext(c3_, hdim3),
+                                   ext(bv3_, hdim3), ext(bt3_, hdim3),
+                                   ext(r4_, hdim4), ext(o4__, hdim4),
                                    scal_)
-            return o4x[:, 1:-1], t4x[:, 1:-1]
+            sl = [slice(None)] * 4
+            sl[hdim4] = slice(1, -1)
+            return o4x[tuple(sl)], t4x[tuple(sl)]
 
-        o4, t4 = run(temp4, cls, ga.bc_vel, ga.bc_temp, rhs4, op4, scal)
+        o4, t4 = run(temp4, cls, bcv, bct, rhs4, op4, scal)
+        if axis == 0:
+            if padB:
+                o4 = o4[:, :, :-padB]
+                t4 = t4[:, :, :-padB]
+            # back to the canonical X split for the XLA ops around us
+            xsh = NamedSharding(plan.mesh, P(None, ax, None, None))
+            o4 = jax.lax.with_sharding_constraint(o4, xsh)
+            t4 = jax.lax.with_sharding_constraint(t4, xsh)
     if bf16:
         o4 = o4.astype(jnp.float32)
         t4 = t4.astype(jnp.float32)
@@ -481,16 +521,19 @@ def _solve_direction_3d(axis: int, rhs: State3D, temp: State3D, out_layer: State
         ok_size = n_sweep <= MAX_SWEEP
     else:
         ok_size = False
+    nl_here = _nl_pair_active(axis, n_sweep, backend, merge_ok,
+                              ga.cls_b[axis] is None, num_local, plan)
     if (backend in ("fused_full", "fused_bf16", "fused_nl")
             and merge_ok and ga.cls_b[axis] is None and ok_size
-            and (plan is None or axis != 0)):
+            and (plan is None or axis != 0 or nl_here)):
         # under a mesh the Y/Z directions run per shard (nl-pair kernel
         # with halo pre-exchange, or the stream kernel); the X direction
-        # falls through to the resharding fused_dma path below
+        # runs the pair kernel on all_to_all-resharded lines when
+        # num_local is even, else falls through to the per-iteration
+        # fused_dma reshard path below
         out = out_layer
         n_left = num_local
-        if _nl_pair_active(axis, n_sweep, backend, merge_ok,
-                           ga.cls_b[axis] is None, num_local, plan):
+        if nl_here:
             pairs = num_local // 2
             for k in range(pairs):
                 # the gmerge fold applies only on the direction's FINAL
