@@ -341,6 +341,38 @@ def test_sharded_nl_pair_matches_unsharded():
                                    rtol=0, atol=5e-7)
 
 
+def test_sharded_nl_odd_tail_matches_unsharded():
+    """Sharded fused_nl at num_local=3 — the mixed dispatch: Y/Z run one
+    pair + a stream-kernel tail per shard, X falls back to the
+    per-iteration fused_dma reshard path (odd num_local cannot pair on
+    resharded lines)."""
+    import __graft_entry__ as g
+    from cmcfs_tpu.models import adi3d
+    from cmcfs_tpu.core.types import NodeType
+    from cmcfs_tpu.ops.masks import INTERIOR
+    from cmcfs_tpu.parallel.mesh import make_x_mesh
+
+    _, ga, cur, pa = g._setup(32, 19, 21, "scan")
+    is_in = np.asarray(ga.types) == NodeType.IN
+    merge_ok = tuple(
+        bool(((np.asarray(ga.cls_a[ax]) == INTERIOR) == is_in).all())
+        for ax in range(3))
+    dt = jnp.float32(0.01)
+
+    plan = make_x_mesh(8)
+    ref, _ = adi3d.adi_timestep_3d(cur, cur, ga, dt, 1, 3, pa,
+                                   backend="fused_nl", compute_error=False,
+                                   merge_ok=merge_ok)
+    sh, _ = adi3d.adi_timestep_3d(plan.shard_state(cur),
+                                  plan.shard_state(cur),
+                                  plan.shard_grid(ga), dt, 1, 3, pa,
+                                  backend="fused_nl", compute_error=False,
+                                  merge_ok=merge_ok, plan=plan)
+    for r, s in zip(ref, sh):
+        np.testing.assert_allclose(np.asarray(s), np.asarray(r),
+                                   rtol=0, atol=5e-7)
+
+
 def test_sharded_long_line_fused_matches_scan():
     """Sweeps beyond the VMEM line cap (>288) keep the fused path under a
     mesh: the chunked long-line kernel runs per shard (Y/Z) and after the
