@@ -35,6 +35,15 @@ from .common3d import State3D, GridArrays3D
 
 ERR_THRESHOLD = 0.01       # reference AdiSolver3D.h:32
 
+# fused_nl Y/Z directions run the sweep_axis=0 kernel on transposed
+# operands: the sweep dim becomes the slab major dim, so the serial row
+# loop reads whole (8,128) vreg tiles instead of gathering one sublane
+# from each of 8 tiles, while the transposes fuse into the operand
+# stacking copies that happen anyway.  Measured in-step (256^3 ng=4
+# nl=2, scripts/probe_nl_xmode.py): 222.2 -> 187.5 ms/step, bitwise-
+# identical.  Read at trace time; False restores the sweep_axis=1 path.
+NL_XMODE = True
+
 
 class ParamsArgs3D(NamedTuple):
     v_T: jnp.ndarray
@@ -421,6 +430,25 @@ def _solve_nl_fused(axis: int, rhs: State3D, temp: State3D, out: State3D,
     cls = ga.cls_a[axis]
 
     def call_kernel(t4, c3, bv3, bt3, r4, o4_, scal_):
+        if NL_XMODE and axis > 0:
+            # route Y/Z through the sweep_axis=0 kernel layout: the sweep
+            # dim becomes the slab's major dim, so the serial row loop
+            # reads full (8,128) vreg tiles instead of gathering one
+            # sublane from each of 8 tiles (the X direction's layout).
+            # The cyclic Z permutation (z,x,y) keeps j=x, lanes=y — the
+            # same cross-derivative pairing (and scal) as the Z_as_Y path.
+            perm3 = (1, 0, 2) if axis == 1 else (2, 0, 1)
+            inv3 = (1, 0, 2) if axis == 1 else (1, 2, 0)
+            tr = lambda t: jnp.transpose(t, perm3)
+            tr4 = lambda t: jnp.transpose(t, (0,) + tuple(d + 1
+                                                          for d in perm3))
+            itr4 = lambda t: jnp.transpose(t, (0,) + tuple(d + 1
+                                                           for d in inv3))
+            o4x, t4x = fused_sweep_nl(tr4(t4), tr(c3), tr(bv3), tr(bt3),
+                                      tr4(r4), tr4(o4_), scal_,
+                                      sweep_axis=0, axis_var=axis,
+                                      exact=exact, gmerge=gmerge)
+            return itr4(o4x), itr4(t4x)
         if axis == 2:
             sw = lambda t: jnp.swapaxes(t, 1, 2)
             sw4 = lambda t: jnp.swapaxes(t, 2, 3)

@@ -128,3 +128,29 @@ def test_fused_nl_chained_pairs_and_odd_tail():
             np.testing.assert_allclose(np.asarray(o), np.asarray(r),
                                        rtol=0, atol=5e-7)
         assert abs(float(e0) - float(e1)) < 1e-9
+
+
+def test_fused_nl_sweep1_routing_matches_scan():
+    """The pair kernel's sweep_axis=1 Y/Z routing (adi3d.NL_XMODE=False —
+    the pre-xmode default, kept as the escape hatch) stays correct: with
+    the xmode default on, nothing else exercises that kernel layout."""
+    adi3d, ga, cur, pa, merge_ok = _setup()
+    dt = jnp.float32(0.01)
+    ref, e0 = adi3d.adi_timestep_3d(cur, cur, ga, dt, 1, 2, pa,
+                                    backend="scan", exact=True,
+                                    compute_error=True)
+    saved = adi3d.NL_XMODE
+    adi3d.adi_timestep_3d.clear_cache()
+    try:
+        adi3d.NL_XMODE = False
+        out, e1 = adi3d.adi_timestep_3d(cur, cur, ga, dt, 1, 2, pa,
+                                        backend="fused_nl", exact=True,
+                                        compute_error=True,
+                                        merge_ok=merge_ok)
+        for r, o in zip(ref, out):
+            np.testing.assert_allclose(np.asarray(o), np.asarray(r),
+                                       rtol=0, atol=5e-7)
+        assert abs(float(e0) - float(e1)) < 1e-9
+    finally:
+        adi3d.NL_XMODE = saved
+        adi3d.adi_timestep_3d.clear_cache()
