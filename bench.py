@@ -128,6 +128,27 @@ def run_bench(size_dx: float = 0.00409, steps: int = 10, warmup: int = 2,
     )
 
 
+def _await_tunnel():
+    """The axon TPU tunnel goes Unavailable for stretches (a cold jax init
+    then blocks ~25 min before raising).  When this run targets the TPU,
+    ping-and-wait (bounded, env CMCFS_BENCH_WAIT_MIN, default 45 min) in
+    short subprocesses BEFORE the in-process jax init, so a transient
+    outage delays the benchmark instead of failing it."""
+    if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+        return
+    import sys
+    sys.path.insert(0, ROOT)
+    try:
+        from scripts.tpu_wait import wait_for_tpu
+    except ImportError:
+        return
+    budget = float(os.environ.get("CMCFS_BENCH_WAIT_MIN", "45")) * 60
+    if not wait_for_tpu(interval=60.0, max_seconds=budget):
+        print("warning: TPU tunnel still unavailable after "
+              f"{budget / 60:.0f} min; attempting the run anyway",
+              file=sys.stderr, flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=10)
@@ -136,6 +157,7 @@ def main():
     ap.add_argument("--case", default="3d", choices=["3d", "3d384", "2d1024"])
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args()
+    _await_tunnel()
 
     if args.case == "2d1024":
         res = run_bench_2d(backend=args.backend)
