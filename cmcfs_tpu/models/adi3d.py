@@ -44,6 +44,16 @@ ERR_THRESHOLD = 0.01       # reference AdiSolver3D.h:32
 # identical.  Read at trace time; False restores the sweep_axis=1 path.
 NL_XMODE = True
 
+# Stacked-carry step: when EVERY direction runs the num_local-pair kernel
+# (xmode, single chip, even num_local, no duals, merge_ok on all axes),
+# carry the 4-var field stacks in each direction's KERNEL layout across
+# the whole step — each operand is transposed exactly once per direction
+# transition (7 relayouts per global iteration: 2 into Z, 2 into Y, 3
+# into X) and the State3D unstack/restack between directions disappears.
+# The kernels see bit-identical operands, so results are bitwise equal to
+# the per-direction path (test_backends3d).  Read at trace time.
+NL_STACKED = True
+
 
 class ParamsArgs3D(NamedTuple):
     v_T: jnp.ndarray
@@ -538,6 +548,101 @@ def _solve_nl_fused(axis: int, rhs: State3D, temp: State3D, out: State3D,
             State3D(o4[0], o4[1], o4[2], o4[3]))
 
 
+def _nl_stacked_possible(cur: State3D, ga: GridArrays3D, backend: str,
+                         num_local: int, merge_ok: tuple, plan) -> bool:
+    """Static predicate for the stacked-carry step (NL_STACKED): every
+    direction must run the num_local-pair kernel in xmode on a single
+    chip, with an even num_local so the global merge folds in-kernel."""
+    if (plan is not None or not NL_STACKED or not NL_XMODE
+            or num_local < 2 or num_local % 2 != 0):
+        return False
+    if backend not in ("fused_nl", "fused_bf16"):
+        return False
+    return all(_nl_pair_active(ax, cur.u.shape[ax], backend, merge_ok[ax],
+                               ga.cls_b[ax] is None, num_local, None)
+               for ax in range(3))
+
+
+def _nl_stacked_step(cur: State3D, nxt: State3D, ga: GridArrays3D, dt,
+                     num_global: int, num_local: int, pa: ParamsArgs3D,
+                     exact: bool, bf16: bool):
+    """The whole TimeStep on stacked 4-var field arrays carried in each
+    direction's kernel layout (see NL_STACKED above).
+
+    Layouts (all directions use the sweep_axis=0 kernel):
+      L_X = (x, y, z)   L_Y = (y, x, z)   L_Z = (z, x, y)
+    Data flow per global iteration (TimeStep, AdiSolver3D.cpp:335-358):
+      Z: rhs=cur@L_Z (transposed ONCE per step), temp@L_Z, out=nxt@L_Z
+      Y: rhs=nxt@L_Z->L_Y, temp@L_Z->L_Y, out=half@L_Y (persistent in L_Y:
+         its producer and consumer-as-out are both the Y direction)
+      X: rhs=half@L_Y->L_X, temp@L_Y->L_X, out=nxt@L_Z->L_X, global merge
+         folded in-kernel (gmerge) on the final pair.
+    Returns the new next layer as a stacked (4, nx, ny, nz) array."""
+    from ..ops.pallas_sweep_nl import fused_sweep_nl
+    f32 = jnp.float32
+    PX2Z = (2, 0, 1)   # (x,y,z) -> (z,x,y)
+    PZ2Y = (2, 1, 0)   # (z,x,y) -> (y,x,z)
+    PY2X = (1, 0, 2)   # (y,x,z) -> (x,y,z)
+    PZ2X = (1, 2, 0)   # (z,x,y) -> (x,y,z)
+    PX2Y = (1, 0, 2)   # (x,y,z) -> (y,x,z) (static masks only)
+
+    def t3(a, p):
+        return jnp.transpose(a, p)
+
+    def t4(a, p):
+        return jnp.transpose(a, (0,) + tuple(d + 1 for d in p))
+
+    def scal_for(axis):
+        h = (pa.dx, pa.dy, pa.dz)[axis]
+        hj, hl = {0: (pa.dy, pa.dz), 1: (pa.dx, pa.dz),
+                  2: (pa.dx, pa.dy)}[axis]
+        return jnp.stack([pa.v_vis / (h * h), pa.t_vis / (h * h), 3.0 / dt,
+                          1.0 / (2.0 * h), pa.v_T, pa.t_phi,
+                          1.0 / (2.0 * hj), 1.0 / (2.0 * hl)])
+
+    scals = {ax: scal_for(ax) for ax in range(3)}
+    # static masks per direction, in kernel layout (traced once; XLA CSEs
+    # the transposed copies across global iterations)
+    masks = {}
+    for axis, p in ((0, None), (1, PX2Y), (2, PX2Z)):
+        c, bv, bt = ga.cls_a[axis], ga.bc_vel, ga.bc_temp
+        if p is not None:
+            c, bv, bt = t3(c, p), t3(bv, p), t3(bt, p)
+        masks[axis] = (c, bv, bt)
+
+    def run_dir(axis, temp4, rhs4, op4, gmerge_last):
+        cls, bv, bt = masks[axis]
+        r4 = rhs4.astype(jnp.bfloat16) if bf16 else rhs4
+        out4 = op4
+        pairs = num_local // 2
+        for k in range(pairs):
+            o_in = out4.astype(jnp.bfloat16) if bf16 else out4
+            o4, tn4 = fused_sweep_nl(temp4, cls, bv, bt, r4, o_in,
+                                     scals[axis], sweep_axis=0,
+                                     axis_var=axis, exact=exact,
+                                     gmerge=gmerge_last and k == pairs - 1)
+            if bf16:
+                o4 = o4.astype(f32)
+                tn4 = tn4.astype(f32)
+            temp4, out4 = tn4, o4
+        return temp4, out4
+
+    cur4 = jnp.stack(tuple(cur))                      # L_X
+    nxt4 = jnp.stack(tuple(nxt))                      # L_X
+    temp4 = cur4                                      # L_X
+    curZ = t4(cur4, PX2Z)                             # Z's rhs, constant
+    n4, nx, ny, nz = cur4.shape
+    half4 = jnp.zeros((n4, ny, nx, nz), cur4.dtype)   # L_Y
+    for _ in range(num_global):
+        tZ, nxtZ = run_dir(2, t4(temp4, PX2Z), curZ, t4(nxt4, PX2Z),
+                           gmerge_last=False)
+        tY, half4 = run_dir(1, t4(tZ, PZ2Y), t4(nxtZ, PZ2Y), half4,
+                            gmerge_last=False)
+        temp4, nxt4 = run_dir(0, t4(tY, PY2X), t4(half4, PY2X),
+                              t4(nxtZ, PZ2X), gmerge_last=True)
+    return nxt4
+
+
 def _solve_direction_3d(axis: int, rhs: State3D, temp: State3D, out_layer: State3D,
                         ga: GridArrays3D, dt, num_local: int, pa: ParamsArgs3D,
                         backend: str, exact: bool, plan=None,
@@ -747,25 +852,34 @@ def adi_timestep_3d(cur: State3D, nxt_prev: State3D, ga: GridArrays3D, dt,
 
     nxt = State3D(*(jnp.where(is_bv, c, n) for c, n in zip(cur, nxt_prev)))
     temp = cur
-    half = State3D(*(jnp.zeros_like(f) for f in cur))
+    if _nl_stacked_possible(cur, ga, backend, num_local, merge_ok, plan):
+        # stacked-carry fast path: the whole num_global loop runs on 4-var
+        # stacks in kernel layouts (see _nl_stacked_step); bitwise equal
+        nxt4 = _nl_stacked_step(cur, nxt, ga, dt, num_global, num_local,
+                                pa, exact, backend == "fused_bf16")
+        nxt = State3D(nxt4[0], nxt4[1], nxt4[2], nxt4[3])
+    else:
+        half = State3D(*(jnp.zeros_like(f) for f in cur))
 
-    # when the X direction ends on the num_local-pair kernel, the global
-    # MergeLayer folds into that kernel's in-kernel merge (gmerge) and the
-    # XLA pass below is skipped — same static predicate as the dispatch
-    gfold = (_nl_pair_active(0, cur.u.shape[0], backend, merge_ok[0],
-                             ga.cls_b[0] is None, num_local, plan)
-             and num_local % 2 == 0)
-    for _ in range(num_global):
-        temp, nxt = _solve_direction_3d(2, cur, temp, nxt, ga, dt, num_local,
-                                        pa, backend, exact, plan, merge_ok[2])
-        temp, half = _solve_direction_3d(1, nxt, temp, half, ga, dt, num_local,
-                                         pa, backend, exact, plan, merge_ok[1])
-        temp, nxt = _solve_direction_3d(0, half, temp, nxt, ga, dt, num_local,
-                                        pa, backend, exact, plan, merge_ok[0],
-                                        gmerge=gfold)
-        if not gfold:
-            temp = State3D(*(jnp.where(is_in, (t + n) / 2.0, t)
-                             for t, n in zip(temp, nxt)))
+        # when the X direction ends on the num_local-pair kernel, the global
+        # MergeLayer folds into that kernel's in-kernel merge (gmerge) and
+        # the XLA pass below is skipped — same static predicate as dispatch
+        gfold = (_nl_pair_active(0, cur.u.shape[0], backend, merge_ok[0],
+                                 ga.cls_b[0] is None, num_local, plan)
+                 and num_local % 2 == 0)
+        for _ in range(num_global):
+            temp, nxt = _solve_direction_3d(2, cur, temp, nxt, ga, dt,
+                                            num_local, pa, backend, exact,
+                                            plan, merge_ok[2])
+            temp, half = _solve_direction_3d(1, nxt, temp, half, ga, dt,
+                                             num_local, pa, backend, exact,
+                                             plan, merge_ok[1])
+            temp, nxt = _solve_direction_3d(0, half, temp, nxt, ga, dt,
+                                            num_local, pa, backend, exact,
+                                            plan, merge_ok[0], gmerge=gfold)
+            if not gfold:
+                temp = State3D(*(jnp.where(is_in, (t + n) / 2.0, t)
+                                 for t, n in zip(temp, nxt)))
 
     if compute_error:
         err = stencil.div_error_3d(nxt.u, nxt.v, nxt.w, ga.types,

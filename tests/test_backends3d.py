@@ -130,6 +130,35 @@ def test_fused_nl_chained_pairs_and_odd_tail():
         assert abs(float(e0) - float(e1)) < 1e-9
 
 
+def test_nl_stacked_carry_bitwise():
+    """The stacked-carry step (adi3d.NL_STACKED: 4-var stacks carried in
+    kernel layouts across the whole step) feeds the pair kernels
+    bit-identical operands, so it must be BITWISE equal to the
+    per-direction path — this is also the only coverage of the unsharded
+    per-direction xmode path at even num_local once stacked is default."""
+    import jax
+    adi3d, ga, cur, pa, merge_ok = _setup()
+    if not all(merge_ok):
+        pytest.skip("fixture has a non-foldable axis")
+    dt = jnp.float32(0.01)
+    saved = adi3d.NL_STACKED
+    try:
+        outs = {}
+        for flag in (False, True):
+            adi3d.NL_STACKED = flag
+            adi3d.adi_timestep_3d.clear_cache()
+            outs[flag], _ = adi3d.adi_timestep_3d(
+                cur, cur, ga, dt, 2, 2, pa, backend="fused_nl", exact=True,
+                compute_error=False, merge_ok=merge_ok)
+        assert adi3d._nl_stacked_possible(cur, ga, "fused_nl", 2, merge_ok,
+                                          None)
+        for r, o in zip(outs[False], outs[True]):
+            assert (np.asarray(o) == np.asarray(r)).all()
+    finally:
+        adi3d.NL_STACKED = saved
+        adi3d.adi_timestep_3d.clear_cache()
+
+
 def test_fused_nl_sweep1_routing_matches_scan():
     """The pair kernel's sweep_axis=1 Y/Z routing (adi3d.NL_XMODE=False —
     the pre-xmode default, kept as the escape hatch) stays correct: with
