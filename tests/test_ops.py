@@ -173,6 +173,38 @@ def test_tridiag_block_decoupling():
     np.testing.assert_array_equal(x_full[5:7], np.zeros((2, 1), np.float32))
 
 
+def test_tridiag_pcr_solves_and_decouples():
+    """Parallel cyclic reduction: log-depth solver for recurrence-bound
+    silicon (docs/ROOFLINE.md §3).  Must solve the system (checked by
+    residual, not by agreement with Thomas — the elimination order
+    differs) and decouple identity-separated blocks like the masked-line
+    formulation requires."""
+    import jax.numpy as jnp
+    from cmcfs_tpu.ops.tridiag import tridiag_solve
+    rng = np.random.default_rng(3)
+    N, batch = 53, 64          # non-power-of-two length
+    a = rng.normal(size=(N, batch)).astype(np.float32)
+    c = rng.normal(size=(N, batch)).astype(np.float32)
+    b = (np.abs(a) + np.abs(c) + 1.0
+         + rng.uniform(0, 1, (N, batch))).astype(np.float32)
+    d = rng.normal(size=(N, batch)).astype(np.float32)
+    for p in (0, 19, 20, 40):  # identity rows: two decoupled interior blocks
+        a[p] = 0; b[p] = 1; c[p] = 0
+    for exact in (True, False):
+        x = np.asarray(tridiag_solve(*map(jnp.array, (a, b, c, d)),
+                                     backend="pcr", exact=exact))
+        cc = c.copy()
+        cc[-1] = 0            # reference Algorithms.h:23
+        r = b * x
+        r[1:] += a[1:] * x[:-1]
+        r[:-1] += cc[:-1] * x[1:]
+        np.testing.assert_allclose(r, d, rtol=0, atol=5e-6)
+    # identity rows return their own d (here: d as written, decoupled)
+    x = np.asarray(tridiag_solve(*map(jnp.array, (a, b, c, d)),
+                                 backend="pcr"))
+    np.testing.assert_allclose(x[19:21], d[19:21], rtol=0, atol=1e-6)
+
+
 def test_tridiag_pallas_interpret_matches_scan():
     import jax
     import jax.numpy as jnp
