@@ -242,6 +242,52 @@ def make_probe(n, mode):
 
             chunked(bwd4, (zero,) * 4)
 
+        def compute_pcr():
+            """Parallel cyclic reduction over the slab: ONE shared (a,b,c)
+            chain + four d's carried through log2(n) fully-vectorized
+            levels (shifts along the sweep dim), no serial row loop at
+            all.  ~6x the flops of comps in ~16 full-slab passes instead
+            of 2n row steps — the recurrence-widening candidate
+            (docs/ROOFLINE.md §3)."""
+            adv = adv_v[...]
+            a = -adv * 0.5 - 1.0
+            b = 3.0 + pk_v[...]
+            c = adv * 0.5 - 1.0
+            ds = [dbs_ref[...] for dbs_ref in
+                  (in_buf.at[0, 0], in_buf.at[0, 1],
+                   in_buf.at[1, 0], in_buf.at[1, 1])]
+
+            def shift(x, k, fill):
+                # along the sweep dim (axis 1 of the (8, n, 128) slab)
+                if k > 0:
+                    pad = jnp.full_like(x[:, :k, :], fill)
+                    return jnp.concatenate([x[:, k:, :], pad], axis=1)
+                pad = jnp.full_like(x[:, k:, :], fill)
+                return jnp.concatenate([pad, x[:, :k, :]], axis=1)
+
+            s = 1
+            while s < n:
+                am, bm, cm = (shift(a, -s, 0.0), shift(b, -s, 1.0),
+                              shift(c, -s, 0.0))
+                ap_, bp, cp_ = (shift(a, s, 0.0), shift(b, s, 1.0),
+                                shift(c, s, 0.0))
+                alpha = -a * pl.reciprocal(bm, approx=False)
+                gamma = -c * pl.reciprocal(bp, approx=False)
+                b = b + alpha * cm + gamma * ap_
+                ds = [dq + alpha * shift(dq, -s, 0.0)
+                      + gamma * shift(dq, s, 0.0) for dq in ds]
+                a = alpha * am
+                c = gamma * cp_
+                s *= 2
+            rb = pl.reciprocal(b, approx=False)
+            dsts = [out_buf.at[0], out_buf.at[1], tn_buf.at[0], tn_buf.at[1]]
+            for q in range(4):
+                dsts[q][...] = ds[q] * rb
+
+        if mode == "pcr":
+            compute_pcr()
+            return
+
         if mode in ("comps", "compi"):
             compute_shared(interleave=(mode == "compi"))
             return
@@ -319,7 +365,7 @@ def main():
     forc = jnp.ones((n, n, n), jnp.float32)
 
     ap2_modes = os.environ.get("PROBE_MODES",
-                               "dma,comp,comp2,comps,compi,full")
+                               "dma,comp,comp2,comps,compi,pcr,full")
     for mode in ap2_modes.split(","):
         run = make_probe(n, mode)
         op4 = jnp.zeros((4, n, n, n), jnp.float32)
