@@ -48,8 +48,9 @@ def main():
     dt = jnp.float32(0.01)
     print(f"{n}^3 ng={args.ng} nl=2 device={jax.devices()[0]}")
 
-    # ---- (a) the real step
-    @jax.jit
+    # ---- (a) the real step (both carry modes: per-direction round-trip
+    # vs stacked-carry — CPU HLO shows identical transpose counts, so any
+    # difference here is TPU layout-assignment copies)
     def real_step(state, nxt):
         new, _ = adi3d.adi_timestep_3d(state, nxt, ga, dt, args.ng, 2, pa,
                                        backend="fused_nl", exact=False,
@@ -78,19 +79,30 @@ def main():
     def fetch(x):
         return float(jnp.sum(x[0] if isinstance(x, tuple) else x.u))
 
-    # warm both
-    state, nxt = real_step(cur, cur)
-    fetch(state)
+    # warm all three programs
+    sums = {}
+    for flag in (False, True):
+        adi3d.NL_STACKED = flag
+        adi3d.adi_timestep_3d.clear_cache()
+        state, nxt = real_step(cur, cur)
+        sums[flag] = fetch(state)
     tb, ob = chain_j(t4, r4, o4, ga.bc_vel, ga.bc_temp)
     fetch((tb,))
+    print(f"checksum |stacked - perdir| = "
+          f"{abs(sums[True] - sums[False]):.2e}")
 
     for rep in range(args.reps):
-        t0 = time.perf_counter()
-        state, nxt = cur, cur
-        for _ in range(args.steps):
-            state, nxt = real_step(state, nxt)
-        fetch(state)
-        ta = (time.perf_counter() - t0) / args.steps * 1e3
+        ta = {}
+        for flag in (False, True):
+            adi3d.NL_STACKED = flag
+            adi3d.adi_timestep_3d.clear_cache()
+            state, nxt = real_step(cur, cur)   # retrace (XLA cache hit)
+            fetch(state)
+            t0 = time.perf_counter()
+            for _ in range(args.steps):
+                state, nxt = real_step(state, nxt)
+            fetch(state)
+            ta[flag] = (time.perf_counter() - t0) / args.steps * 1e3
 
         t0 = time.perf_counter()
         tb, ob = t4, o4
@@ -99,8 +111,9 @@ def main():
         fetch((tb,))
         tk = (time.perf_counter() - t0) / args.steps * 1e3
 
-        print(f"rep {rep}: real step {ta:.1f} ms | kernels-only {tk:.1f} ms "
-              f"| glue {ta - tk:.1f} ms ({(ta - tk) / ta * 100:.1f}%)")
+        for name, t in (("perdir ", ta[False]), ("stacked", ta[True])):
+            print(f"rep {rep} {name}: {t:7.1f} ms | kernels-only {tk:.1f} ms "
+                  f"| glue {t - tk:.1f} ms ({(t - tk) / t * 100:.1f}%)")
 
 
 if __name__ == "__main__":
