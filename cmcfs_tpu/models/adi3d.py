@@ -65,6 +65,28 @@ class ParamsArgs3D(NamedTuple):
     dz: jnp.ndarray
 
 
+# xmode kernel layouts per physical direction (sweep dim major, the
+# cross-derivative j-dim second, lanes last): X=(x,y,z), Y=(y,x,z),
+# Z=(z,x,y) — the cyclic Z permutation keeps j=x, lanes=y, the same
+# pairing as the legacy Z_as_Y path.  Shared by the per-direction calls
+# (_solve_nl_fused) and the stacked-carry step (_nl_stacked_step) so the
+# two paths can never diverge.
+NL_PERM3 = {1: (1, 0, 2), 2: (2, 0, 1)}      # canonical -> kernel layout
+NL_INV3 = {1: (1, 0, 2), 2: (1, 2, 0)}       # kernel layout -> canonical
+
+
+def _nl_scal(axis: int, pa: ParamsArgs3D, dt):
+    """The pair kernel's (8,) scal vector for a physical direction: the
+    last two entries are the cross-axis derivative scales in the KERNEL's
+    layout (j-dim, lane dim) — see NL_PERM3."""
+    h = (pa.dx, pa.dy, pa.dz)[axis]
+    hj, hl = {0: (pa.dy, pa.dz), 1: (pa.dx, pa.dz),
+              2: (pa.dx, pa.dy)}[axis]
+    return jnp.stack([pa.v_vis / (h * h), pa.t_vis / (h * h), 3.0 / dt,
+                      1.0 / (2.0 * h), pa.v_T, pa.t_phi,
+                      1.0 / (2.0 * hj), 1.0 / (2.0 * hl)])
+
+
 def _sharded_fused(fused_sweep, plan, args3, d4, scal, kaxis: int,
                    exact: bool):
     """Run the fused sweep kernel per shard under shard_map.
@@ -418,17 +440,9 @@ def _solve_nl_fused(axis: int, rhs: State3D, temp: State3D, out: State3D,
     ships whole halo layers between GPUs per iteration
     (TimeLayer3D.h:158-335 syncHalos)."""
     from ..ops.pallas_sweep_nl import fused_sweep_nl
-    h = (pa.dx, pa.dy, pa.dz)[axis]
-    # cross-axis derivative scales for the in-kernel dissipation,
-    # in the KERNEL's slab layout: j-dim (blocked 8-row dim) and lane dim
-    #   axis 0: slab (x, y, z) -> j = y, lanes = z
-    #   axis 1: slab (x, y, z) -> j = x, lanes = z
-    #   axis 2: swapped (x, z, y) -> j = x, lanes = y
-    hj, hl = {0: (pa.dy, pa.dz), 1: (pa.dx, pa.dz),
-              2: (pa.dx, pa.dy)}[axis]
-    scal = jnp.stack([pa.v_vis / (h * h), pa.t_vis / (h * h), 3.0 / dt,
-                      1.0 / (2.0 * h), pa.v_T, pa.t_phi,
-                      1.0 / (2.0 * hj), 1.0 / (2.0 * hl)])
+    # the (8,) scal vector incl. the cross-axis derivative scales in the
+    # kernel's slab layout — shared with the stacked-carry step (_nl_scal)
+    scal = _nl_scal(axis, pa, dt)
     temp4 = jnp.stack(tuple(temp))
     rhs4 = jnp.stack(tuple(rhs))
     op4 = jnp.stack(tuple(out))
@@ -445,10 +459,8 @@ def _solve_nl_fused(axis: int, rhs: State3D, temp: State3D, out: State3D,
             # dim becomes the slab's major dim, so the serial row loop
             # reads full (8,128) vreg tiles instead of gathering one
             # sublane from each of 8 tiles (the X direction's layout).
-            # The cyclic Z permutation (z,x,y) keeps j=x, lanes=y — the
-            # same cross-derivative pairing (and scal) as the Z_as_Y path.
-            perm3 = (1, 0, 2) if axis == 1 else (2, 0, 1)
-            inv3 = (1, 0, 2) if axis == 1 else (1, 2, 0)
+            perm3 = NL_PERM3[axis]
+            inv3 = NL_INV3[axis]
             tr = lambda t: jnp.transpose(t, perm3)
             tr4 = lambda t: jnp.transpose(t, (0,) + tuple(d + 1
                                                           for d in perm3))
@@ -580,11 +592,18 @@ def _nl_stacked_step(cur: State3D, nxt: State3D, ga: GridArrays3D, dt,
     Returns the new next layer as a stacked (4, nx, ny, nz) array."""
     from ..ops.pallas_sweep_nl import fused_sweep_nl
     f32 = jnp.float32
-    PX2Z = (2, 0, 1)   # (x,y,z) -> (z,x,y)
-    PZ2Y = (2, 1, 0)   # (z,x,y) -> (y,x,z)
-    PY2X = (1, 0, 2)   # (y,x,z) -> (x,y,z)
-    PZ2X = (1, 2, 0)   # (z,x,y) -> (x,y,z)
-    PX2Y = (1, 0, 2)   # (x,y,z) -> (y,x,z) (static masks only)
+
+    def compose(p, q):
+        # transpose(transpose(x, p), q) == transpose(x, compose(p, q))
+        return tuple(p[k] for k in q)
+
+    # direction-transition perms, derived from the shared layout tables so
+    # the stacked path can never diverge from _solve_nl_fused's xmode
+    PX2Z = NL_PERM3[2]             # (x,y,z) -> (z,x,y)
+    PX2Y = NL_PERM3[1]             # (x,y,z) -> (y,x,z) (static masks only)
+    PZ2X = NL_INV3[2]              # (z,x,y) -> (x,y,z)
+    PY2X = NL_INV3[1]              # (y,x,z) -> (x,y,z)
+    PZ2Y = compose(PZ2X, PX2Y)     # (z,x,y) -> (y,x,z)
 
     def t3(a, p):
         return jnp.transpose(a, p)
@@ -592,15 +611,7 @@ def _nl_stacked_step(cur: State3D, nxt: State3D, ga: GridArrays3D, dt,
     def t4(a, p):
         return jnp.transpose(a, (0,) + tuple(d + 1 for d in p))
 
-    def scal_for(axis):
-        h = (pa.dx, pa.dy, pa.dz)[axis]
-        hj, hl = {0: (pa.dy, pa.dz), 1: (pa.dx, pa.dz),
-                  2: (pa.dx, pa.dy)}[axis]
-        return jnp.stack([pa.v_vis / (h * h), pa.t_vis / (h * h), 3.0 / dt,
-                          1.0 / (2.0 * h), pa.v_T, pa.t_phi,
-                          1.0 / (2.0 * hj), 1.0 / (2.0 * hl)])
-
-    scals = {ax: scal_for(ax) for ax in range(3)}
+    scals = {ax: _nl_scal(ax, pa, dt) for ax in range(3)}
     # static masks per direction, in kernel layout (traced once; XLA CSEs
     # the transposed copies across global iterations)
     masks = {}

@@ -377,7 +377,8 @@ def main():
             o, t = run(temp4, rhs4, op4, forc)
         sync(o); sync(t)
         ms = (time.time() - t0) / args.reps * 1e3
-        gb = (11 + 8) / 4 * 4 * n ** 3 * 4 / 1e9 if mode != "comp" else 0
+        gb = ((11 + 8) / 4 * 4 * n ** 3 * 4 / 1e9
+              if mode in ("dma", "full") else 0)   # compute-only modes do no DMA
         print(f"{mode:5s}: {ms:7.2f} ms  "
               + (f"({gb / (ms / 1e3):.0f} GB/s over {gb:.2f} GB)" if gb else ""))
 

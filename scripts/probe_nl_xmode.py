@@ -1,105 +1,23 @@
-"""In-step A/B: fused_nl with Y/Z on sweep_axis=1 (current) vs routed
+"""In-step A/B: fused_nl with Y/Z on sweep_axis=1 (pre-xmode) vs routed
 through sweep_axis=0 on transposed operands (adi3d.NL_XMODE).
 
 probe_yasx.py showed the isolated kernel costs the same either way, but
 in-step the operand transposes fuse into the stacking copies that happen
 anyway, while the per-direction profiler shows Y/Z direction-pairs cost
 ~2x the X pair (RESULTS.md round-3 event table) — so the in-step routing
-is the decisive experiment.  adi_timestep_3d's jit cache does not key on
-the module flag: the cache is cleared at each flip (XLA's compilation
-cache keeps both HLOs, so re-tracing is cheap after the first rep).
+is the decisive experiment.
 
 Run on the TPU:  python scripts/probe_nl_xmode.py [--steps 10] [--reps 2]
 """
 from __future__ import annotations
 
-import argparse
 import os
 import sys
-import time
 
-ROOT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
-sys.path.insert(0, ROOT)
-
-
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--dx", type=float, default=0.00409)
-    ap.add_argument("--steps", type=int, default=10)
-    ap.add_argument("--reps", type=int, default=2)
-    ap.add_argument("--ng", type=int, default=4)
-    ap.add_argument("--nl", type=int, default=2)
-    args = ap.parse_args()
-
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
-    from cmcfs_tpu.core.config import Config
-    from cmcfs_tpu.core.params import FluidParams
-    from cmcfs_tpu.cli3d import build_grid
-    from cmcfs_tpu.models import adi3d
-    from cmcfs_tpu.models.common3d import (grid_arrays, init_state,
-                                           update_boundaries)
-    from cmcfs_tpu.core.types import NodeType
-    from cmcfs_tpu.ops.masks import INTERIOR
-    from scripts.gen_box_case import gen
-
-    case_dir = os.path.join(ROOT, "out", "abcase")
-    data, cfgp = gen(case_dir, dx=args.dx, time_steps=max(args.steps, 4),
-                     num_global=args.ng, num_local=args.nl)
-    cfg = Config.load(cfgp)
-    grid = build_grid(cfg, data)
-    cells = grid.dimx * grid.dimy * grid.dimz
-    print(f"grid {grid.dimx}x{grid.dimy}x{grid.dimz} ({cells/1e6:.1f}M), "
-          f"ng={args.ng} nl={args.nl}, device={jax.devices()[0]}")
-
-    ga = grid_arrays(grid)
-    is_in = np.asarray(grid.types) == NodeType.IN
-    merge_ok = tuple(bool(((np.asarray(ga.cls_a[ax]) == INTERIOR)
-                           == is_in).all()) for ax in range(3))
-    cur = update_boundaries(init_state(grid), ga)
-    p = FluidParams.normalized(cfg.Re, cfg.Pr, cfg.lam)
-    pa = adi3d.ParamsArgs3D(*[jnp.float32(x) for x in
-                              (p.v_T, p.v_vis, p.t_vis, p.t_phi,
-                               grid.dx, grid.dy, grid.dz)])
-    dt = jnp.float32(grid.cycle_len / cfg.time_steps)
-
-    def step(state, nxt):
-        new, _ = adi3d.adi_timestep_3d(state, nxt, ga, dt, args.ng, args.nl,
-                                       pa, backend="fused_nl", exact=False,
-                                       compute_error=False,
-                                       merge_ok=merge_ok)
-        return new, state
-
-    modes = [("sweep1", False), ("xmode", True)]
-    sums = {}
-    results = {name: [] for name, _ in modes}
-    for rep in range(args.reps):
-        for name, flag in modes:
-            adi3d.adi_timestep_3d.clear_cache()
-            adi3d.NL_XMODE = flag
-            state, nxt = step(cur, cur)             # compile + settle
-            state, nxt = step(state, nxt)
-            s = float(jnp.sum(state.u))
-            if rep == 0:
-                sums[name] = s
-                print(f"warm {name}: checksum {s:.6f}")
-            t0 = time.time()
-            for _ in range(args.steps):
-                state, nxt = step(state, nxt)
-            float(jnp.sum(state.u))
-            wall = time.time() - t0
-            ms = wall / args.steps * 1e3
-            cups = cells * args.steps / wall
-            results[name].append((ms, cups))
-            print(f"rep{rep} {name}: {ms:8.1f} ms/step  {cups:.3e} cell-upd/s")
-    print(f"checksum |xmode - sweep1| = "
-          f"{abs(sums['xmode'] - sums['sweep1']):.2e}")
-    print("\nsummary (best rep):")
-    for name, _ in modes:
-        ms, cups = min(results[name])
-        print(f"  {name}: {ms:8.1f} ms/step  {cups:.3e} cell-upd/s")
-
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".."))
+from scripts._nl_ab import run_flag_ab
 
 if __name__ == "__main__":
-    main()
+    run_flag_ab("NL_XMODE", [("sweep1", False), ("xmode", True)],
+                __doc__.splitlines()[0])
