@@ -208,7 +208,7 @@ def _build_and_solve_3d(axis: int, rhs: State3D, temp: State3D, ga: GridArrays3D
             # (so 512^3-class grids keep the fused path on 2+ chips)
             from ..ops.pallas_sweep_long import fused_sweep_long as fused_sweep
         elif backend in ("fused_dma", "fused_full", "fused_bf16",
-                         "fused_nl"):
+                         "fused_nl", "fused_pcr"):
             from ..ops.pallas_sweep_dma import fused_sweep_dma as fused_sweep
             # bf16 storage mode: kernel HBM traffic halves; the Thomas
             # recurrence still runs in f32 inside the kernel (a TPU-native
@@ -315,7 +315,8 @@ def _build_and_solve_3d(axis: int, rhs: State3D, temp: State3D, ga: GridArrays3D
     wavefront_x = (axis == 0 and plan is not None
                    and getattr(plan, "nblockz", 0) > 1)
     solver = (solve_fused if (backend in ("fused", "fused_dma", "fused_full",
-                                          "fused_bf16", "fused_nl")
+                                          "fused_bf16", "fused_nl",
+                                          "fused_pcr")
                               and not wavefront_x)
               else solve_with_cls)
     x = solver(ga.cls_a[axis])
@@ -402,7 +403,7 @@ def _nl_pair_active(axis: int, n_sweep: int, backend: str, merge_ok_ax: bool,
     """Static predicate: does this direction run the num_local-pair kernel
     (pallas_sweep_nl) for its local iterations?  Shared by the dispatch and
     by adi_timestep_3d's gmerge-fold decision so they can never diverge."""
-    if backend not in ("fused_nl", "fused_bf16") or num_local < 2:
+    if backend not in ("fused_nl", "fused_bf16", "fused_pcr") or num_local < 2:
         return False
     if plan is not None and axis == 0 and num_local % 2 != 0:
         # a trailing odd local iteration would need the per-iteration
@@ -415,7 +416,8 @@ def _nl_pair_active(axis: int, n_sweep: int, backend: str, merge_ok_ax: bool,
 
 def _solve_nl_fused(axis: int, rhs: State3D, temp: State3D, out: State3D,
                     ga: GridArrays3D, dt, pa: ParamsArgs3D, exact: bool,
-                    gmerge: bool = False, bf16: bool = False, plan=None):
+                    gmerge: bool = False, bf16: bool = False,
+                    pcr: bool = False, plan=None):
     """num_local-PAIR fusion: TWO local iterations in one kernel invocation
     (ops/pallas_sweep_nl.py) — iteration 2's coefficients and dissipation
     forcing are rebuilt in-kernel from the VMEM-resident merged temp, so
@@ -469,7 +471,7 @@ def _solve_nl_fused(axis: int, rhs: State3D, temp: State3D, out: State3D,
             o4x, t4x = fused_sweep_nl(tr4(t4), tr(c3), tr(bv3), tr(bt3),
                                       tr4(r4), tr4(o4_), scal_,
                                       sweep_axis=0, axis_var=axis,
-                                      exact=exact, gmerge=gmerge)
+                                      exact=exact, gmerge=gmerge, pcr=pcr)
             return itr4(o4x), itr4(t4x)
         if axis == 2:
             sw = lambda t: jnp.swapaxes(t, 1, 2)
@@ -479,9 +481,11 @@ def _solve_nl_fused(axis: int, rhs: State3D, temp: State3D, out: State3D,
                                       sweep_axis=1, axis_var=axis,
                                       exact=exact, gmerge=gmerge)
             return sw4(o4x), sw4(t4x)
+        # axis == 0 (sweep_axis=0) or the pre-xmode Y (sweep_axis=1);
+        # PCR needs the xmode layout, so it rides only the former
         return fused_sweep_nl(t4, c3, bv3, bt3, r4, o4_, scal_,
                               sweep_axis=axis, axis_var=axis, exact=exact,
-                              gmerge=gmerge)
+                              gmerge=gmerge, pcr=pcr and axis == 0)
 
     if plan is None:
         o4, t4 = call_kernel(temp4, cls, ga.bc_vel, ga.bc_temp,
@@ -568,7 +572,7 @@ def _nl_stacked_possible(cur: State3D, ga: GridArrays3D, backend: str,
     if (plan is not None or not NL_STACKED or not NL_XMODE
             or num_local < 2 or num_local % 2 != 0):
         return False
-    if backend not in ("fused_nl", "fused_bf16"):
+    if backend not in ("fused_nl", "fused_bf16", "fused_pcr"):
         return False
     return all(_nl_pair_active(ax, cur.u.shape[ax], backend, merge_ok[ax],
                                ga.cls_b[ax] is None, num_local, None)
@@ -577,7 +581,7 @@ def _nl_stacked_possible(cur: State3D, ga: GridArrays3D, backend: str,
 
 def _nl_stacked_step(cur: State3D, nxt: State3D, ga: GridArrays3D, dt,
                      num_global: int, num_local: int, pa: ParamsArgs3D,
-                     exact: bool, bf16: bool):
+                     exact: bool, bf16: bool, pcr: bool = False):
     """The whole TimeStep on stacked 4-var field arrays carried in each
     direction's kernel layout (see NL_STACKED above).
 
@@ -631,7 +635,8 @@ def _nl_stacked_step(cur: State3D, nxt: State3D, ga: GridArrays3D, dt,
             o4, tn4 = fused_sweep_nl(temp4, cls, bv, bt, r4, o_in,
                                      scals[axis], sweep_axis=0,
                                      axis_var=axis, exact=exact,
-                                     gmerge=gmerge_last and k == pairs - 1)
+                                     gmerge=gmerge_last and k == pairs - 1,
+                                     pcr=pcr)
             if bf16:
                 o4 = o4.astype(f32)
                 tn4 = tn4.astype(f32)
@@ -660,14 +665,14 @@ def _solve_direction_3d(axis: int, rhs: State3D, temp: State3D, out_layer: State
                         merge_ok: bool = False, gmerge: bool = False):
     """Reference SolveDirection (AdiSolver3D.cpp:564-666), CPU semantics."""
     n_sweep = rhs.u.shape[axis]
-    if backend in ("fused_full", "fused_bf16", "fused_nl"):
+    if backend in ("fused_full", "fused_bf16", "fused_nl", "fused_pcr"):
         from ..ops.pallas_sweep_stream import MAX_SWEEP
         ok_size = n_sweep <= MAX_SWEEP
     else:
         ok_size = False
     nl_here = _nl_pair_active(axis, n_sweep, backend, merge_ok,
                               ga.cls_b[axis] is None, num_local, plan)
-    if (backend in ("fused_full", "fused_bf16", "fused_nl")
+    if (backend in ("fused_full", "fused_bf16", "fused_nl", "fused_pcr")
             and merge_ok and ga.cls_b[axis] is None and ok_size
             and (plan is None or axis != 0 or nl_here)):
         # under a mesh the Y/Z directions run per shard (nl-pair kernel
@@ -686,6 +691,7 @@ def _solve_direction_3d(axis: int, rhs: State3D, temp: State3D, out_layer: State
                 temp, out = _solve_nl_fused(axis, rhs, temp, out, ga, dt,
                                             pa, exact, gmerge=g,
                                             bf16=(backend == "fused_bf16"),
+                                            pcr=(backend == "fused_pcr"),
                                             plan=plan)
             n_left = num_local % 2
         fused_dir = functools.partial(
@@ -833,7 +839,7 @@ def adi_timestep_3d(cur: State3D, nxt_prev: State3D, ga: GridArrays3D, dt,
     # padded cells inert; types pad with OUT.
     pad = None
     if plan is None and backend in ("fused", "fused_dma", "fused_full",
-                                    "fused_bf16", "fused_nl"):
+                                    "fused_bf16", "fused_nl", "fused_pcr"):
         nx, ny, nz = cur.u.shape
         tgt = (-nx % 8, -ny % 128, -nz % 128)
         grow = ((nx + tgt[0]) * (ny + tgt[1]) * (nz + tgt[2])) / max(
@@ -867,7 +873,8 @@ def adi_timestep_3d(cur: State3D, nxt_prev: State3D, ga: GridArrays3D, dt,
         # stacked-carry fast path: the whole num_global loop runs on 4-var
         # stacks in kernel layouts (see _nl_stacked_step); bitwise equal
         nxt4 = _nl_stacked_step(cur, nxt, ga, dt, num_global, num_local,
-                                pa, exact, backend == "fused_bf16")
+                                pa, exact, backend == "fused_bf16",
+                                backend == "fused_pcr")
         nxt = State3D(nxt4[0], nxt4[1], nxt4[2], nxt4[3])
     else:
         half = State3D(*(jnp.zeros_like(f) for f in cur))

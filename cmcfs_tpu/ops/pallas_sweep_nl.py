@@ -72,7 +72,7 @@ N_MRG = 4     # row-chunk count for vectorized slab passes (VMEM stack cap)
 
 
 def _make_kernel(n, sweep_axis, axis_var, exact, c_blocks, n_blocks,
-                 gmerge=False, bf16=False):
+                 gmerge=False, bf16=False, pcr=False):
     row, set_row = make_row_ops(sweep_axis)
     total = n_blocks * c_blocks
     lag = c_blocks
@@ -195,6 +195,28 @@ def _make_kernel(n, sweep_axis, axis_var, exact, c_blocks, n_blocks,
                                       aux_buf.at[slot],
                                       in_sems.at[slot, 2]).wait()
 
+        # ------------------------------------- PCR-mode DMA helpers
+        # (pcr=True): the vectorized solve needs ALL FOUR variables'
+        # input slabs resident simultaneously, so op/aux widen to
+        # parity-pair groups (op_buf[par, v], aux_buf[par, i]) and the
+        # whole block's inputs start/wait together — the same parity
+        # schedule as start_shared.  rhs still lands in its block ring.
+        def start_inputs_pcr(b, par, wait=False):
+            for v in range(4):
+                cp_r = pltpu.make_async_copy(slab4(rhs_hbm, v, b),
+                                             rhs_r.at[ring(b, S_R), v],
+                                             in_sems.at[par, v])
+                cp_o = pltpu.make_async_copy(slab4(op_hbm, v, b),
+                                             op_buf.at[par, v],
+                                             in_sems.at[par, 4 + v])
+                (cp_r.wait if wait else cp_r.start)()
+                (cp_o.wait if wait else cp_o.start)()
+            for i, vv in enumerate((o1, o2)):
+                cp_a = pltpu.make_async_copy(slab4(temp_hbm, vv, b),
+                                             aux_buf.at[par, i],
+                                             in_sems.at[par, 8 + i])
+                (cp_a.wait if wait else cp_a.start)()
+
         # --------------------------------------------------- shared chains
         def chunked(fn, init):
             def chunk(k, carry):
@@ -272,6 +294,108 @@ def _make_kernel(n, sweep_axis, axis_var, exact, c_blocks, n_blocks,
                 return x
 
             chunked(bwd_body, zero_row)
+
+        # -------------------------------- PCR-mode vectorized solve
+        # (pcr=True, sweep_axis==0 only): parallel cyclic reduction over
+        # the whole slab — ceil(log2 n) fully-vectorized levels of
+        # full-slab ops + sweep-dim shifts instead of the 2n-step serial
+        # Thomas row loop (the ROOFLINE §3 recurrence attack; same math
+        # as ops/tridiag._solve_leading_axis_pcr, which validates the
+        # identity-row decoupling argument).  Lockstep grouping: ONE
+        # shared (a, b, c) chain for the three velocities + their 3 d's,
+        # a second chain for T.  NOT bitwise vs the Thomas backends
+        # (different elimination order, ~ulp-class drift on the
+        # diagonally dominant ADI rows).
+        def _shift0(x, k, fill):
+            """result[i] = x[i + k]; out-of-range rows = fill (identity-
+            row neighbors).  Sweep dim = slab axis 0."""
+            if k > 0:
+                pad = jnp.full_like(x[x.shape[0] - k:], fill)
+                return jnp.concatenate([x[k:], pad], axis=0)
+            pad = jnp.full_like(x[:-k], fill)
+            return jnp.concatenate([pad, x[:k]], axis=0)
+
+        def _pcr_chains(groups):
+            """groups: list of (a, b, c, [d, ...]); solves all groups in
+            lockstep, returns the x-lists in group order."""
+            s = 1
+            while s < n:
+                nxt_g = []
+                for a, b, c, ds in groups:
+                    am, bm, cm = (_shift0(a, -s, 0.0), _shift0(b, -s, 1.0),
+                                  _shift0(c, -s, 0.0))
+                    ap_, bp_, cp_ = (_shift0(a, s, 0.0), _shift0(b, s, 1.0),
+                                     _shift0(c, s, 0.0))
+                    if exact:
+                        alpha = -(a / bm)
+                        gamma = -(c / bp_)
+                    else:
+                        alpha = -a * pl.reciprocal(bm, approx=False)
+                        gamma = -c * pl.reciprocal(bp_, approx=False)
+                    b_n = b + alpha * cm + gamma * ap_
+                    ds_n = [dq + alpha * _shift0(dq, -s, 0.0)
+                            + gamma * _shift0(dq, s, 0.0) for dq in ds]
+                    nxt_g.append((alpha * am, b_n, gamma * cp_, ds_n))
+                groups = nxt_g
+                s *= 2
+            outs = []
+            for a, b, c, ds in groups:
+                if exact:
+                    outs.append([dq / b for dq in ds])
+                else:
+                    rb = pl.reciprocal(b, approx=False)
+                    outs.append([dq * rb for dq in ds])
+            return outs
+
+        def pcr_solve_all(adv_ref, pk_ref, T_ref, rhs_of, forc_ref, tv_of):
+            """Vectorized build of all four variables' (a, b, c, d) slabs
+            (same per-element math as coeff_pass/solve_var's row builds)
+            followed by the two lockstep PCR chains.  ``rhs_of(v)`` yields
+            the f32 rhs slab value; ``tv_of(v)`` the variable's own temp
+            slab value (Dirichlet BC d).  Returns [x_u, x_v, x_w, x_T]."""
+            pk = pk_ref[...]
+            cls_s, bcv_s, bct_s = decode_pk(pk)
+            interior = cls_s == INTERIOR
+            is_bc = (cls_s == BC0) | (cls_s == BC1)
+            adv2h = adv_ref[...] * inv2h
+
+            def cap(a, c):
+                # first row's a and last row's c are ignored by Thomas
+                # (reference Algorithms.h:23); PCR must zero them so row 0
+                # / row n-1 never pull out-of-slab neighbors
+                zr = jnp.zeros_like(a[0:1])
+                return (jnp.concatenate([zr, a[1:]], axis=0),
+                        jnp.concatenate([c[:-1], zr], axis=0))
+
+            free_v = bcv_s == 1.0
+            a, b, c = build_abc(cls_s, free_v, adv2h, v_vis_h2,
+                                inv3dt + 2.0 * v_vis_h2, bc2d=False)
+            a, c = cap(a, c)
+            free_t = bct_s == 1.0
+            aT, bT, cT = build_abc(cls_s, free_t, adv2h, t_vis_h2,
+                                   inv3dt + 2.0 * t_vis_h2, bc2d=False)
+            aT, cT = cap(aT, cT)
+
+            # sweep-gradient of T for the axis_var d (solve_var's clamped
+            # (T[p+1]-T[p-1])*inv2h stencil, vectorized)
+            T = T_ref[...]
+            gT = jnp.concatenate([(T[1:2] - T[0:1]) * inv2h,
+                                  (T[2:] - T[:-2]) * inv2h,
+                                  (T[n - 1:n] - T[n - 2:n - 1]) * inv2h],
+                                 axis=0)
+            ds = []
+            for v in range(4):
+                d_int = rhs_of(v) * inv3dt
+                if v == axis_var:
+                    d_int = d_int - v_T * gT
+                elif v == 3:
+                    d_int = d_int + forc_ref[...]
+                d_bc = jnp.where(free_t if v == 3 else free_v, 0.0, tv_of(v))
+                ds.append(jnp.where(interior, d_int,
+                                    jnp.where(is_bc, d_bc, 0.0)))
+            xs_vel, xs_T = _pcr_chains([(a, b, c, ds[:3]),
+                                        (aT, bT, cT, [ds[3]])])
+            return xs_vel + xs_T
 
         # ---------------------------------------- in-kernel dissipation
         # shared by BOTH iterations: iteration 1 differentiates the input
@@ -366,8 +490,11 @@ def _make_kernel(n, sweep_axis, axis_var, exact, c_blocks, n_blocks,
             for b in range(min(c_blocks + 2, total)):
                 start_adv(b)
             start_shared(0, 0)
-            start_inputs(0, 0, 0)
-            start_inputs(1, 1, 0)
+            if pcr:
+                start_inputs_pcr(0, 0)
+            else:
+                start_inputs(0, 0, 0)
+                start_inputs(1, 1, 0)
 
         @pl.when((L >= 1) & (L + lag + 1 < total))
         def _():
@@ -376,6 +503,12 @@ def _make_kernel(n, sweep_axis, axis_var, exact, c_blocks, n_blocks,
         @pl.when(L + 1 < total)
         def _():
             start_shared(L + 1, 1 - bp)
+            if pcr:
+                # whole-block input prefetch, parity-buffered: block L+1's
+                # group lands while block L computes (reads of parity
+                # 1 - bp — block L-1's — finished last grid step; the rhs
+                # ring slot is lag+1 < S_R ahead of phase B's reader)
+                start_inputs_pcr(L + 1, 1 - bp)
 
         @pl.when(L < total)
         def _():
@@ -395,52 +528,100 @@ def _make_kernel(n, sweep_axis, axis_var, exact, c_blocks, n_blocks,
             rbA = ring(L, S_A)
             rbB = ring(L, S_B)
 
-            coeff_pass(adv1, pk1, v_vis_h2, for_T=False)
-            for v in range(4):
-                slot = v % 2
-                wait_inputs(v, slot, L)
-                if v == o1:
-                    sw_deriv(aux_buf.at[slot], go1s)
-                if v == o2:
-                    sw_deriv(aux_buf.at[slot], go2s)
-                if v == 3:
-                    coeff_pass(adv1, pk1, t_vis_h2, for_T=True)
-                    # iteration-1 forcing from the input temp slabs: the
-                    # cross-axis halos come from the deep-prefetched adv ring
-                    sw_deriv(adv1, gavs)
-                    cross_derivs(adv1, adv_nb(L - c_blocks),
-                                 adv_nb(L + c_blocks),
-                                 adv_nb(L - 1), adv_nb(L + 1))
-                    assemble_forcing(f1s)
-                # stage d' into the out1 ring slab, x into the tn1 ring slab
-                dst_o = o1r.at[rbB, v]
-                dst_t = tnA.at[rbA] if v == axis_var else tnB.at[rbB, ch_of[v]]
-                tv1 = adv1 if v == axis_var else (T1 if v == 3
-                                                  else aux_buf.at[slot])
-                solve_var(v, t_vis_h2 if v == 3 else v_vis_h2,
-                          adv1, pk1, T1, rhs_ring_ref(ring(L, S_R), v),
-                          f1s if v == 3 else aux_buf.at[slot], tv1,
-                          dst_o, dst_t)
-                # vectorized UpdateSegment + merge (iteration 1):
-                #   out1 = where(written, x, out_prev); tn1 = avg on NODE_IN
-                for m in range(N_MRG):
-                    sl = mrg_sl(m)
-                    cls, _, _ = decode_pk(pk1[sl])
-                    written = cls != 0.0
-                    is_in = cls == INTERIOR
-                    t_old = tv1[sl]
-                    op_prev = (op_buf[(slot,) + sl].astype(f32)
-                               if bf16 else op_buf[(slot,) + sl])
-                    out_new = jnp.where(written, dst_t[sl], op_prev)
-                    t_new = jnp.where(is_in, (t_old + out_new) * 0.5, t_old)
-                    dst_o[sl] = out_new
-                    dst_t[sl] = t_new
-                if v + 2 <= 3:
-                    start_inputs(v + 2, slot, L)
-                else:
-                    @pl.when(L + 1 < total)
-                    def _():
-                        start_inputs(v - 2, slot, L + 1)
+            if pcr:
+                start_inputs_pcr(L, bp, wait=True)
+
+                def tv_ref1(v):
+                    if v == axis_var:
+                        return adv1
+                    if v == 3:
+                        return T1
+                    return aux_buf.at[bp, 0 if v == o1 else 1]
+
+                def rhs_of1(v):
+                    r = rhs_r[ring(L, S_R), v]
+                    return r.astype(f32) if bf16 else r
+
+                # forcing (iteration 1) from the input temp slabs, as in
+                # the serial path — all derivs up-front
+                sw_deriv(aux_buf.at[bp, 0], go1s)
+                sw_deriv(aux_buf.at[bp, 1], go2s)
+                sw_deriv(adv1, gavs)
+                cross_derivs(adv1, adv_nb(L - c_blocks),
+                             adv_nb(L + c_blocks),
+                             adv_nb(L - 1), adv_nb(L + 1))
+                assemble_forcing(f1s)
+                xs = pcr_solve_all(adv1, pk1, T1, rhs_of1, f1s,
+                                   lambda v: tv_ref1(v)[...])
+                for v in range(4):
+                    dst_o = o1r.at[rbB, v]
+                    dst_t = (tnA.at[rbA] if v == axis_var
+                             else tnB.at[rbB, ch_of[v]])
+                    dst_t[...] = xs[v]
+                    tv1 = tv_ref1(v)
+                    for m in range(N_MRG):
+                        sl = mrg_sl(m)
+                        cls, _, _ = decode_pk(pk1[sl])
+                        written = cls != 0.0
+                        is_in = cls == INTERIOR
+                        t_old = tv1[sl]
+                        op_prev = (op_buf[(bp, v) + sl].astype(f32)
+                                   if bf16 else op_buf[(bp, v) + sl])
+                        out_new = jnp.where(written, dst_t[sl], op_prev)
+                        t_new = jnp.where(is_in, (t_old + out_new) * 0.5,
+                                          t_old)
+                        dst_o[sl] = out_new
+                        dst_t[sl] = t_new
+            else:
+                coeff_pass(adv1, pk1, v_vis_h2, for_T=False)
+                for v in range(4):
+                    slot = v % 2
+                    wait_inputs(v, slot, L)
+                    if v == o1:
+                        sw_deriv(aux_buf.at[slot], go1s)
+                    if v == o2:
+                        sw_deriv(aux_buf.at[slot], go2s)
+                    if v == 3:
+                        coeff_pass(adv1, pk1, t_vis_h2, for_T=True)
+                        # iteration-1 forcing from the input temp slabs: the
+                        # cross-axis halos come from the deep-prefetched
+                        # adv ring
+                        sw_deriv(adv1, gavs)
+                        cross_derivs(adv1, adv_nb(L - c_blocks),
+                                     adv_nb(L + c_blocks),
+                                     adv_nb(L - 1), adv_nb(L + 1))
+                        assemble_forcing(f1s)
+                    # stage d' into the out1 ring slab, x into the tn1 ring
+                    dst_o = o1r.at[rbB, v]
+                    dst_t = (tnA.at[rbA] if v == axis_var
+                             else tnB.at[rbB, ch_of[v]])
+                    tv1 = adv1 if v == axis_var else (T1 if v == 3
+                                                      else aux_buf.at[slot])
+                    solve_var(v, t_vis_h2 if v == 3 else v_vis_h2,
+                              adv1, pk1, T1, rhs_ring_ref(ring(L, S_R), v),
+                              f1s if v == 3 else aux_buf.at[slot], tv1,
+                              dst_o, dst_t)
+                    # vectorized UpdateSegment + merge (iteration 1):
+                    #   out1 = where(written, x, out_prev); tn1 = avg on IN
+                    for m in range(N_MRG):
+                        sl = mrg_sl(m)
+                        cls, _, _ = decode_pk(pk1[sl])
+                        written = cls != 0.0
+                        is_in = cls == INTERIOR
+                        t_old = tv1[sl]
+                        op_prev = (op_buf[(slot,) + sl].astype(f32)
+                                   if bf16 else op_buf[(slot,) + sl])
+                        out_new = jnp.where(written, dst_t[sl], op_prev)
+                        t_new = jnp.where(is_in, (t_old + out_new) * 0.5,
+                                          t_old)
+                        dst_o[sl] = out_new
+                        dst_t[sl] = t_new
+                    if v + 2 <= 3:
+                        start_inputs(v + 2, slot, L)
+                    else:
+                        @pl.when(L + 1 < total)
+                        def _():
+                            start_inputs(v - 2, slot, L + 1)
 
         # ========================== PHASE B: iteration 2 for block b2
         @pl.when(b2 >= 0)
@@ -467,69 +648,136 @@ def _make_kernel(n, sweep_axis, axis_var, exact, c_blocks, n_blocks,
 
             # ---- solve the four systems of iteration 2
             rbR = ring(b2, S_R)
-            coeff_pass(adv2, pk2, v_vis_h2, for_T=False)
-            for v in range(4):
-                slot = v % 2
-                if v >= 2:
-                    pltpu.make_async_copy(out_dma_ref(slot),
-                                          slab4(out_hbm, v - 2, b2),
-                                          out_sems.at[slot, 0]).wait()
-                    pltpu.make_async_copy(tn_dma_ref(slot),
-                                          slab4(tn_hbm, v - 2, b2),
-                                          out_sems.at[slot, 1]).wait()
-                else:
-                    @pl.when(b2 > 0)
-                    def _():
+            if pcr:
+                @pl.when(b2 > 0)
+                def _():
+                    # previous block's 8 output DMAs must land before the
+                    # 4-slot out/tn work buffers are rewritten
+                    for v in range(4):
+                        pltpu.make_async_copy(out_dma_ref(v),
+                                              slab4(out_hbm, v, b2 - 1),
+                                              out_sems.at[v, 0]).wait()
+                        pltpu.make_async_copy(tn_dma_ref(v),
+                                              slab4(tn_hbm, v, b2 - 1),
+                                              out_sems.at[v, 1]).wait()
+
+                def tv_ref2(v):
+                    if v == axis_var:
+                        return adv2
+                    if v == 3:
+                        return T2
+                    return tnB.at[rbB, ch_of[v]]
+
+                def rhs_of2(v):
+                    r = rhs_r[rbR, v]
+                    return r.astype(f32) if bf16 else r
+
+                xs = pcr_solve_all(adv2, pk2, T2, rhs_of2, f2s,
+                                   lambda v: tv_ref2(v)[...])
+                for v in range(4):
+                    tn_buf[v] = xs[v]
+                    tv2 = tv_ref2(v)
+                    for m in range(N_MRG):
+                        sl = mrg_sl(m)
+                        cls, _, _ = decode_pk(pk2[sl])
+                        written = cls != 0.0
+                        is_in = cls == INTERIOR
+                        t_old = tv2[sl]
+                        out_new = jnp.where(written, tn_buf[(v,) + sl],
+                                            o1r[(rbB, v) + sl])
+                        t_new = jnp.where(is_in, (t_old + out_new) * 0.5,
+                                          t_old)
+                        if gmerge:
+                            t_new = jnp.where(is_in, (t_new + out_new) / 2.0,
+                                              t_new)
+                        out_buf[(v,) + sl] = out_new
+                        tn_buf[(v,) + sl] = t_new
+                    if bf16:
+                        out_bf[v] = out_buf[v].astype(jnp.bfloat16)
+                        tn_bf[v] = tn_buf[v].astype(jnp.bfloat16)
+                    pltpu.make_async_copy(out_dma_ref(v),
+                                          slab4(out_hbm, v, b2),
+                                          out_sems.at[v, 0]).start()
+                    pltpu.make_async_copy(tn_dma_ref(v),
+                                          slab4(tn_hbm, v, b2),
+                                          out_sems.at[v, 1]).start()
+            else:
+                coeff_pass(adv2, pk2, v_vis_h2, for_T=False)
+                for v in range(4):
+                    slot = v % 2
+                    if v >= 2:
                         pltpu.make_async_copy(out_dma_ref(slot),
-                                              slab4(out_hbm, v + 2, b2 - 1),
+                                              slab4(out_hbm, v - 2, b2),
                                               out_sems.at[slot, 0]).wait()
                         pltpu.make_async_copy(tn_dma_ref(slot),
-                                              slab4(tn_hbm, v + 2, b2 - 1),
+                                              slab4(tn_hbm, v - 2, b2),
                                               out_sems.at[slot, 1]).wait()
-                if v == 3:
-                    coeff_pass(adv2, pk2, t_vis_h2, for_T=True)
-                tv2 = (adv2 if v == axis_var
-                       else (T2 if v == 3 else tnB.at[rbB, ch_of[v]]))
-                solve_var(v, t_vis_h2 if v == 3 else v_vis_h2,
-                          adv2, pk2, T2, rhs_ring_ref(rbR, v), f2s, tv2,
-                          out_buf.at[slot], tn_buf.at[slot])
-                # iteration-2 merge against the resident iteration-1 layers
-                for m in range(N_MRG):
-                    sl = mrg_sl(m)
-                    cls, _, _ = decode_pk(pk2[sl])
-                    written = cls != 0.0
-                    is_in = cls == INTERIOR
-                    t_old = tv2[sl]
-                    out_new = jnp.where(written, tn_buf[(slot,) + sl],
-                                        o1r[(rbB, v) + sl])
-                    t_new = jnp.where(is_in, (t_old + out_new) * 0.5, t_old)
-                    if gmerge:
-                        # fold the end-of-global-iteration MergeLayer
-                        # (temp <- avg(temp, next) on IN, TimeStep
-                        # AdiSolver3D.cpp:346-358) into the final direction
-                        t_new = jnp.where(is_in, (t_new + out_new) / 2.0,
-                                          t_new)
-                    out_buf[(slot,) + sl] = out_new
-                    tn_buf[(slot,) + sl] = t_new
-                if bf16:
-                    out_bf[slot] = out_buf[slot].astype(jnp.bfloat16)
-                    tn_bf[slot] = tn_buf[slot].astype(jnp.bfloat16)
-                pltpu.make_async_copy(out_dma_ref(slot),
-                                      slab4(out_hbm, v, b2),
-                                      out_sems.at[slot, 0]).start()
-                pltpu.make_async_copy(tn_dma_ref(slot),
-                                      slab4(tn_hbm, v, b2),
-                                      out_sems.at[slot, 1]).start()
+                    else:
+                        @pl.when(b2 > 0)
+                        def _():
+                            pltpu.make_async_copy(
+                                out_dma_ref(slot),
+                                slab4(out_hbm, v + 2, b2 - 1),
+                                out_sems.at[slot, 0]).wait()
+                            pltpu.make_async_copy(
+                                tn_dma_ref(slot),
+                                slab4(tn_hbm, v + 2, b2 - 1),
+                                out_sems.at[slot, 1]).wait()
+                    if v == 3:
+                        coeff_pass(adv2, pk2, t_vis_h2, for_T=True)
+                    tv2 = (adv2 if v == axis_var
+                           else (T2 if v == 3 else tnB.at[rbB, ch_of[v]]))
+                    solve_var(v, t_vis_h2 if v == 3 else v_vis_h2,
+                              adv2, pk2, T2, rhs_ring_ref(rbR, v), f2s, tv2,
+                              out_buf.at[slot], tn_buf.at[slot])
+                    # iteration-2 merge against the resident iter-1 layers
+                    for m in range(N_MRG):
+                        sl = mrg_sl(m)
+                        cls, _, _ = decode_pk(pk2[sl])
+                        written = cls != 0.0
+                        is_in = cls == INTERIOR
+                        t_old = tv2[sl]
+                        out_new = jnp.where(written, tn_buf[(slot,) + sl],
+                                            o1r[(rbB, v) + sl])
+                        t_new = jnp.where(is_in, (t_old + out_new) * 0.5,
+                                          t_old)
+                        if gmerge:
+                            # fold the end-of-global-iteration MergeLayer
+                            # (temp <- avg(temp, next) on IN, TimeStep
+                            # AdiSolver3D.cpp:346-358) into the final
+                            # direction
+                            t_new = jnp.where(is_in, (t_new + out_new) / 2.0,
+                                              t_new)
+                        out_buf[(slot,) + sl] = out_new
+                        tn_buf[(slot,) + sl] = t_new
+                    if bf16:
+                        out_bf[slot] = out_buf[slot].astype(jnp.bfloat16)
+                        tn_bf[slot] = tn_buf[slot].astype(jnp.bfloat16)
+                    pltpu.make_async_copy(out_dma_ref(slot),
+                                          slab4(out_hbm, v, b2),
+                                          out_sems.at[slot, 0]).start()
+                    pltpu.make_async_copy(tn_dma_ref(slot),
+                                          slab4(tn_hbm, v, b2),
+                                          out_sems.at[slot, 1]).start()
 
         @pl.when(L == total + lag - 1)
         def _():
-            for v in (2, 3):
-                pltpu.make_async_copy(out_dma_ref(v % 2),
-                                      slab4(out_hbm, v, total - 1),
-                                      out_sems.at[v % 2, 0]).wait()
-                pltpu.make_async_copy(tn_dma_ref(v % 2),
-                                      slab4(tn_hbm, v, total - 1),
-                                      out_sems.at[v % 2, 1]).wait()
+            if pcr:
+                for v in range(4):
+                    pltpu.make_async_copy(out_dma_ref(v),
+                                          slab4(out_hbm, v, total - 1),
+                                          out_sems.at[v, 0]).wait()
+                    pltpu.make_async_copy(tn_dma_ref(v),
+                                          slab4(tn_hbm, v, total - 1),
+                                          out_sems.at[v, 1]).wait()
+            else:
+                for v in (2, 3):
+                    pltpu.make_async_copy(out_dma_ref(v % 2),
+                                          slab4(out_hbm, v, total - 1),
+                                          out_sems.at[v % 2, 0]).wait()
+                    pltpu.make_async_copy(tn_dma_ref(v % 2),
+                                          slab4(tn_hbm, v, total - 1),
+                                          out_sems.at[v % 2, 1]).wait()
 
     if bf16:
         def kernel(scal_ref, temp_hbm, pk_hbm, rhs_hbm, op_hbm,
@@ -551,10 +799,10 @@ def _make_kernel(n, sweep_axis, axis_var, exact, c_blocks, n_blocks,
 
 @functools.partial(jax.jit,
                    static_argnames=("sweep_axis", "axis_var", "exact",
-                                    "gmerge"))
+                                    "gmerge", "pcr"))
 def fused_sweep_nl(temp4, cls, bcv, bct, rhs4, out_prev4, scal,
                    sweep_axis: int, axis_var: int, exact: bool = True,
-                   gmerge: bool = False):
+                   gmerge: bool = False, pcr: bool = False):
     """Two fused local iterations; returns (out2_4, temp2_4).
 
     Arguments as pallas_sweep_stream.fused_sweep_stream minus the
@@ -564,7 +812,14 @@ def fused_sweep_nl(temp4, cls, bcv, bct, rhs4, out_prev4, scal,
     the cross-axis derivative scales of the in-kernel dissipation (j-dim =
     the blocked 8-row slab dim, lane = the 128-lane slab dim, in the
     KERNEL's possibly-swapped layout).
+
+    ``pcr``: replace the serial Thomas row loops with fully-vectorized
+    parallel cyclic reduction over the slab (the ROOFLINE §3 recurrence
+    attack; NOT bitwise vs the Thomas backends — ~ulp-class drift on the
+    diagonally dominant ADI rows).  Requires sweep_axis == 0 (the xmode
+    layout all default paths use).
     """
+    assert not (pcr and sweep_axis != 0), "pcr mode needs the xmode layout"
     _, A, B, C = temp4.shape
     Cp = _ceil_to(C, LANES)
     Ap = _ceil_to(A, S_TILE)
@@ -605,20 +860,31 @@ def fused_sweep_nl(temp4, cls, bcv, bct, rhs4, out_prev4, scal,
     # cp/rbuf 2, diss scratch 7 (f32-slab equivalents; bf16 halves rhs/op
     # + adds the downcast buffers and the upcast stage)
     pay_f = 0.5 if bf16 else 1.0
-    scratch_slabs = (S_AV + 2 + 2 * (1 + pay_f) + S_A + 7 * S_B + S_P
-                     + 4 * S_R * pay_f + 4 + 2 + 7
-                     + (2 * 1.0 + 1 if bf16 else 0))
+    if pcr:
+        # parity-pair input groups (op 2x4, aux 2x2), 4-slot out/tn, plus
+        # ~16 slab-sized live values inside the unrolled PCR levels
+        scratch_slabs = (S_AV + 2 + 8 * pay_f + 4 + S_A + 7 * S_B + S_P
+                         + 4 * S_R * pay_f + 8 + 2 + 7 + 16
+                         + (8 * 0.5 + 1 if bf16 else 0))
+    else:
+        scratch_slabs = (S_AV + 2 + 2 * (1 + pay_f) + S_A + 7 * S_B + S_P
+                         + 4 * S_R * pay_f + 4 + 2 + 7
+                         + (2 * 1.0 + 1 if bf16 else 0))
     vmem_need = int(scratch_slabs * slab_bytes)
 
+    n_ot = 4 if pcr else 2            # out/tn work-buffer slots
+    op_shape = ((2, 4) if pcr else (2,)) + slab
+    aux_shape = ((2, 2) if pcr else (2,)) + slab
+    in_sem_shape = (2, 10) if pcr else (2, 3)
     bf_scratch = []
     if bf16:
-        bf_scratch = [pltpu.VMEM((2,) + slab, pay),   # out_bf DMA buffers
-                      pltpu.VMEM((2,) + slab, pay),   # tn_bf DMA buffers
-                      pltpu.VMEM(slab, f32)]          # rhs upcast stage
+        bf_scratch = [pltpu.VMEM((n_ot,) + slab, pay),  # out_bf DMA buffers
+                      pltpu.VMEM((n_ot,) + slab, pay),  # tn_bf DMA buffers
+                      pltpu.VMEM(slab, f32)]            # rhs upcast stage
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     out, tn = pl.pallas_call(
         _make_kernel(n, sweep_axis, axis_var, exact, c_blocks, n_blocks,
-                     gmerge=gmerge, bf16=bf16),
+                     gmerge=gmerge, bf16=bf16, pcr=pcr),
         grid=(n_blocks * c_blocks + c_blocks,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [any_spec] * 4,
         out_specs=(any_spec, any_spec),
@@ -628,15 +894,15 @@ def fused_sweep_nl(temp4, cls, bcv, bct, rhs4, out_prev4, scal,
         scratch_shapes=[
             pltpu.VMEM((S_AV,) + slab, f32),       # temp[axis_var] halo ring
             pltpu.VMEM((2,) + slab, f32),          # T1 (block parity)
-            pltpu.VMEM((2,) + slab, pay),          # iter-1 op payload
-            pltpu.VMEM((2,) + slab, f32),          # iter-1 aux (temp o1/o2)
+            pltpu.VMEM(op_shape, pay),             # iter-1 op payload
+            pltpu.VMEM(aux_shape, f32),            # iter-1 aux (temp o1/o2)
             pltpu.VMEM((S_R, 4) + slab, pay),      # rhs ring (both iters)
             pltpu.VMEM((S_A,) + slab, f32),        # tn1[axis_var] halo ring
             pltpu.VMEM((S_B, 3) + slab, f32),      # tn1 other-vars ring
             pltpu.VMEM((S_B, 4) + slab, f32),      # out1 ring
             pltpu.VMEM((S_P,) + slab, f32),        # pk ring
-            pltpu.VMEM((2,) + slab, f32),          # out2 work buffers
-            pltpu.VMEM((2,) + slab, f32),          # tn2 work buffers
+            pltpu.VMEM((n_ot,) + slab, f32),       # out2 work buffers
+            pltpu.VMEM((n_ot,) + slab, f32),       # tn2 work buffers
         ] + bf_scratch + [
             pltpu.VMEM(slab, f32),                 # c' line
             pltpu.VMEM(slab, f32),                 # denom / 1/denom line
@@ -649,8 +915,8 @@ def fused_sweep_nl(temp4, cls, bcv, bct, rhs4, out_prev4, scal,
             pltpu.VMEM(slab, f32),                 # forcing2 (iter-2 diss)
             pltpu.SemaphoreType.DMA((S_AV,)),      # adv ring sems
             pltpu.SemaphoreType.DMA((2, 2)),       # sh_sems [par, T|pk]
-            pltpu.SemaphoreType.DMA((2, 3)),       # in_sems [slot, r|o|a]
-            pltpu.SemaphoreType.DMA((2, 2)),       # out_sems
+            pltpu.SemaphoreType.DMA(in_sem_shape),  # in_sems
+            pltpu.SemaphoreType.DMA((n_ot, 2)),    # out_sems
         ],
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,

@@ -55,6 +55,45 @@ def test_pcr_backend_close_to_scan():
     assert abs(float(e0) - float(e1)) < 1e-6
 
 
+def test_fused_pcr_close_to_scan():
+    """backend="fused_pcr" = the num_local-pair kernel with the serial
+    Thomas row loops replaced by in-kernel parallel cyclic reduction
+    (ops/pallas_sweep_nl.py pcr mode — the ROOFLINE §3 recurrence attack).
+    Not bitwise (different elimination order), but the ADI rows are
+    strongly diagonally dominant — same drift class as backend="pcr"."""
+    adi3d, ga, cur, pa, merge_ok = _setup()
+    dt = jnp.float32(0.01)
+    ref, e0 = adi3d.adi_timestep_3d(cur, cur, ga, dt, 2, 2, pa,
+                                    backend="scan", exact=True,
+                                    compute_error=True)
+    out, e1 = adi3d.adi_timestep_3d(cur, cur, ga, dt, 2, 2, pa,
+                                    backend="fused_pcr", exact=True,
+                                    compute_error=True, merge_ok=merge_ok)
+    for r, o in zip(ref, out):
+        np.testing.assert_allclose(np.asarray(o), np.asarray(r),
+                                   rtol=0, atol=5e-6)
+    assert abs(float(e0) - float(e1)) < 1e-6
+
+
+def test_fused_pcr_non_pow2_sweep():
+    """The PCR levels must handle non-power-of-two sweep lengths (the
+    out-of-range shift fills act as identity-row neighbors, as in
+    ops/tridiag._solve_leading_axis_pcr): direct single-direction pair
+    solve on an n=40 X sweep vs the serial pair kernel."""
+    import __graft_entry__ as g
+    from cmcfs_tpu.models.common3d import State3D
+    adi3d, ga, cur, pa = g._setup(40, 19, 21, "scan")
+    dt = jnp.float32(0.01)
+    out0 = State3D(*(jnp.zeros_like(f) for f in cur))
+    t_s, o_s = adi3d._solve_nl_fused(0, cur, cur, out0, ga, dt, pa,
+                                     exact=True)
+    t_p, o_p = adi3d._solve_nl_fused(0, cur, cur, out0, ga, dt, pa,
+                                     exact=True, pcr=True)
+    for r, o in zip(tuple(t_s) + tuple(o_s), tuple(t_p) + tuple(o_p)):
+        np.testing.assert_allclose(np.asarray(o), np.asarray(r),
+                                   rtol=0, atol=5e-6)
+
+
 def test_bf16_storage_close_to_f32():
     """fused_bf16 (bf16 kernel storage, f32 Thomas): the non-parity fast
     path must stay within bf16 resolution of the exact solve."""
