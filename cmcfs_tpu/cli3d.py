@@ -40,9 +40,10 @@ def bf16_horizon_warning(backend: str, total_steps: int) -> str | None:
     trajectories long enough for the per-step rounding to accumulate
     (measured ~19% of max|u| by step 100 on a developing flow — RESULTS.md
     precision-sensitivity study), else None."""
-    if backend != "fused_bf16" or total_steps <= BF16_STEP_WARN_THRESHOLD:
+    if (backend not in ("fused_bf16", "fused_pcr_bf16")
+            or total_steps <= BF16_STEP_WARN_THRESHOLD):
         return None
-    return (f"WARNING: backend fused_bf16 over {total_steps} steps: bf16 "
+    return (f"WARNING: backend {backend} over {total_steps} steps: bf16 "
             f"storage drift accumulates (~19% of max|u| by step 100 on a "
             f"developing flow, RESULTS.md); this mode is for bounded-horizon/"
             f"visualization runs — use fused_full for long trajectories")

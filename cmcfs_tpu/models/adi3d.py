@@ -199,7 +199,7 @@ def _build_and_solve_3d(axis: int, rhs: State3D, temp: State3D, ga: GridArrays3D
         """One fused build+solve kernel for all 4 vars (ops/pallas_sweep.py
         or the manual-DMA variant in ops/pallas_sweep_dma.py); under a mesh
         the same kernel runs per shard via shard_map."""
-        use_bf16 = backend == "fused_bf16"
+        use_bf16 = backend in ("fused_bf16", "fused_pcr_bf16")
         if n_sweep > 288:
             # beyond the VMEM cap: chunked sweep with HBM (c',d') staging
             # (bf16 d/x payload honored; carries stay f32).  Under a mesh it
@@ -208,7 +208,7 @@ def _build_and_solve_3d(axis: int, rhs: State3D, temp: State3D, ga: GridArrays3D
             # (so 512^3-class grids keep the fused path on 2+ chips)
             from ..ops.pallas_sweep_long import fused_sweep_long as fused_sweep
         elif backend in ("fused_dma", "fused_full", "fused_bf16",
-                         "fused_nl", "fused_pcr"):
+                         "fused_nl", "fused_pcr", "fused_pcr_bf16"):
             from ..ops.pallas_sweep_dma import fused_sweep_dma as fused_sweep
             # bf16 storage mode: kernel HBM traffic halves; the Thomas
             # recurrence still runs in f32 inside the kernel (a TPU-native
@@ -316,7 +316,7 @@ def _build_and_solve_3d(axis: int, rhs: State3D, temp: State3D, ga: GridArrays3D
                    and getattr(plan, "nblockz", 0) > 1)
     solver = (solve_fused if (backend in ("fused", "fused_dma", "fused_full",
                                           "fused_bf16", "fused_nl",
-                                          "fused_pcr")
+                                          "fused_pcr", "fused_pcr_bf16")
                               and not wavefront_x)
               else solve_with_cls)
     x = solver(ga.cls_a[axis])
@@ -403,7 +403,8 @@ def _nl_pair_active(axis: int, n_sweep: int, backend: str, merge_ok_ax: bool,
     """Static predicate: does this direction run the num_local-pair kernel
     (pallas_sweep_nl) for its local iterations?  Shared by the dispatch and
     by adi_timestep_3d's gmerge-fold decision so they can never diverge."""
-    if backend not in ("fused_nl", "fused_bf16", "fused_pcr") or num_local < 2:
+    if (backend not in ("fused_nl", "fused_bf16", "fused_pcr",
+                        "fused_pcr_bf16") or num_local < 2):
         return False
     if plan is not None and axis == 0 and num_local % 2 != 0:
         # a trailing odd local iteration would need the per-iteration
@@ -572,7 +573,8 @@ def _nl_stacked_possible(cur: State3D, ga: GridArrays3D, backend: str,
     if (plan is not None or not NL_STACKED or not NL_XMODE
             or num_local < 2 or num_local % 2 != 0):
         return False
-    if backend not in ("fused_nl", "fused_bf16", "fused_pcr"):
+    if backend not in ("fused_nl", "fused_bf16", "fused_pcr",
+                       "fused_pcr_bf16"):
         return False
     return all(_nl_pair_active(ax, cur.u.shape[ax], backend, merge_ok[ax],
                                ga.cls_b[ax] is None, num_local, None)
@@ -665,14 +667,16 @@ def _solve_direction_3d(axis: int, rhs: State3D, temp: State3D, out_layer: State
                         merge_ok: bool = False, gmerge: bool = False):
     """Reference SolveDirection (AdiSolver3D.cpp:564-666), CPU semantics."""
     n_sweep = rhs.u.shape[axis]
-    if backend in ("fused_full", "fused_bf16", "fused_nl", "fused_pcr"):
+    if backend in ("fused_full", "fused_bf16", "fused_nl", "fused_pcr",
+                   "fused_pcr_bf16"):
         from ..ops.pallas_sweep_stream import MAX_SWEEP
         ok_size = n_sweep <= MAX_SWEEP
     else:
         ok_size = False
     nl_here = _nl_pair_active(axis, n_sweep, backend, merge_ok,
                               ga.cls_b[axis] is None, num_local, plan)
-    if (backend in ("fused_full", "fused_bf16", "fused_nl", "fused_pcr")
+    if (backend in ("fused_full", "fused_bf16", "fused_nl", "fused_pcr",
+                    "fused_pcr_bf16")
             and merge_ok and ga.cls_b[axis] is None and ok_size
             and (plan is None or axis != 0 or nl_here)):
         # under a mesh the Y/Z directions run per shard (nl-pair kernel
@@ -690,12 +694,13 @@ def _solve_direction_3d(axis: int, rhs: State3D, temp: State3D, out_layer: State
                 g = gmerge and (k == pairs - 1) and num_local % 2 == 0
                 temp, out = _solve_nl_fused(axis, rhs, temp, out, ga, dt,
                                             pa, exact, gmerge=g,
-                                            bf16=(backend == "fused_bf16"),
-                                            pcr=(backend == "fused_pcr"),
+                                            bf16=(backend in ("fused_bf16", "fused_pcr_bf16")),
+                                            pcr=(backend in ("fused_pcr", "fused_pcr_bf16")),
                                             plan=plan)
             n_left = num_local % 2
         fused_dir = functools.partial(
-            _solve_stream_fused, bf16=(backend == "fused_bf16"),
+            _solve_stream_fused,
+            bf16=(backend in ("fused_bf16", "fused_pcr_bf16")),
             plan=plan)
         for _ in range(n_left):
             temp, out = fused_dir(axis, rhs, temp, out, ga, dt, pa, exact)
@@ -839,7 +844,8 @@ def adi_timestep_3d(cur: State3D, nxt_prev: State3D, ga: GridArrays3D, dt,
     # padded cells inert; types pad with OUT.
     pad = None
     if plan is None and backend in ("fused", "fused_dma", "fused_full",
-                                    "fused_bf16", "fused_nl", "fused_pcr"):
+                                    "fused_bf16", "fused_nl", "fused_pcr",
+                                    "fused_pcr_bf16"):
         nx, ny, nz = cur.u.shape
         tgt = (-nx % 8, -ny % 128, -nz % 128)
         grow = ((nx + tgt[0]) * (ny + tgt[1]) * (nz + tgt[2])) / max(
@@ -873,8 +879,9 @@ def adi_timestep_3d(cur: State3D, nxt_prev: State3D, ga: GridArrays3D, dt,
         # stacked-carry fast path: the whole num_global loop runs on 4-var
         # stacks in kernel layouts (see _nl_stacked_step); bitwise equal
         nxt4 = _nl_stacked_step(cur, nxt, ga, dt, num_global, num_local,
-                                pa, exact, backend == "fused_bf16",
-                                backend == "fused_pcr")
+                                pa, exact,
+                                backend in ("fused_bf16", "fused_pcr_bf16"),
+                                backend in ("fused_pcr", "fused_pcr_bf16"))
         nxt = State3D(nxt4[0], nxt4[1], nxt4[2], nxt4[3])
     else:
         half = State3D(*(jnp.zeros_like(f) for f in cur))

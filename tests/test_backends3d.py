@@ -94,6 +94,25 @@ def test_fused_pcr_non_pow2_sweep():
                                    rtol=0, atol=5e-6)
 
 
+def test_fused_pcr_bf16_close_to_f32():
+    """The combined mode (bf16 payload storage x in-kernel PCR) — on
+    spec-bandwidth silicon the projected fastest configuration; must stay
+    within bf16 resolution of the exact solve (PCR's ulp-class drift is
+    negligible against the bf16 storage rounding)."""
+    adi3d, ga, cur, pa, merge_ok = _setup()
+    dt = jnp.float32(0.01)
+    ref, e0 = adi3d.adi_timestep_3d(cur, cur, ga, dt, 2, 2, pa,
+                                    backend="scan", exact=True,
+                                    compute_error=True)
+    out, e1 = adi3d.adi_timestep_3d(cur, cur, ga, dt, 2, 2, pa,
+                                    backend="fused_pcr_bf16", exact=True,
+                                    compute_error=True, merge_ok=merge_ok)
+    for r, o in zip(ref, out):
+        np.testing.assert_allclose(np.asarray(o), np.asarray(r), atol=0.02)
+    assert np.isfinite(float(e1))
+    assert abs(float(e0) - float(e1)) < 0.01
+
+
 def test_bf16_storage_close_to_f32():
     """fused_bf16 (bf16 kernel storage, f32 Thomas): the non-parity fast
     path must stay within bf16 resolution of the exact solve."""
