@@ -315,37 +315,39 @@ def _make_kernel(n, sweep_axis, axis_var, exact, c_blocks, n_blocks,
             pad = jnp.full_like(x[:-k], fill)
             return jnp.concatenate([pad, x[:k]], axis=0)
 
-        def _pcr_chains(groups):
-            """groups: list of (a, b, c, [d, ...]); solves all groups in
-            lockstep, returns the x-lists in group order."""
+        def _pcr_chain(a, b, c, ds):
+            """One (a, b, c) chain carrying ``ds`` in lockstep.  Groups run
+            sequentially (velocity chain, then T) to keep the peak VMEM
+            live-set to one group's working slabs; each full-slab op
+            saturates the VPU on its own, so no ILP is lost."""
             s = 1
             while s < n:
-                nxt_g = []
-                for a, b, c, ds in groups:
-                    am, bm, cm = (_shift0(a, -s, 0.0), _shift0(b, -s, 1.0),
-                                  _shift0(c, -s, 0.0))
-                    ap_, bp_, cp_ = (_shift0(a, s, 0.0), _shift0(b, s, 1.0),
-                                     _shift0(c, s, 0.0))
-                    if exact:
-                        alpha = -(a / bm)
-                        gamma = -(c / bp_)
-                    else:
-                        alpha = -a * pl.reciprocal(bm, approx=False)
-                        gamma = -c * pl.reciprocal(bp_, approx=False)
-                    b_n = b + alpha * cm + gamma * ap_
-                    ds_n = [dq + alpha * _shift0(dq, -s, 0.0)
-                            + gamma * _shift0(dq, s, 0.0) for dq in ds]
-                    nxt_g.append((alpha * am, b_n, gamma * cp_, ds_n))
-                groups = nxt_g
-                s *= 2
-            outs = []
-            for a, b, c, ds in groups:
+                last = 2 * s >= n
+                am = _shift0(a, -s, 0.0)
+                bm = _shift0(b, -s, 1.0)
+                cm = _shift0(c, -s, 0.0)
+                ap_ = _shift0(a, s, 0.0)
+                bp_ = _shift0(b, s, 1.0)
+                cp_ = _shift0(c, s, 0.0)
                 if exact:
-                    outs.append([dq / b for dq in ds])
+                    alpha = -(a / bm)
+                    gamma = -(c / bp_)
                 else:
-                    rb = pl.reciprocal(b, approx=False)
-                    outs.append([dq * rb for dq in ds])
-            return outs
+                    alpha = -a * pl.reciprocal(bm, approx=False)
+                    gamma = -c * pl.reciprocal(bp_, approx=False)
+                b = b + alpha * cm + gamma * ap_
+                ds = [dq + alpha * _shift0(dq, -s, 0.0)
+                      + gamma * _shift0(dq, s, 0.0) for dq in ds]
+                if not last:
+                    # after the final level a and c are dead (every row is
+                    # fully decoupled) — skip their shifts and updates
+                    a = alpha * am
+                    c = gamma * cp_
+                s *= 2
+            if exact:
+                return [dq / b for dq in ds]
+            rb = pl.reciprocal(b, approx=False)
+            return [dq * rb for dq in ds]
 
         def pcr_solve_all(adv_ref, pk_ref, T_ref, rhs_of, forc_ref, tv_of):
             """Vectorized build of all four variables' (a, b, c, d) slabs
@@ -393,9 +395,8 @@ def _make_kernel(n, sweep_axis, axis_var, exact, c_blocks, n_blocks,
                 d_bc = jnp.where(free_t if v == 3 else free_v, 0.0, tv_of(v))
                 ds.append(jnp.where(interior, d_int,
                                     jnp.where(is_bc, d_bc, 0.0)))
-            xs_vel, xs_T = _pcr_chains([(a, b, c, ds[:3]),
-                                        (aT, bT, cT, [ds[3]])])
-            return xs_vel + xs_T
+            return (_pcr_chain(a, b, c, ds[:3])
+                    + _pcr_chain(aT, bT, cT, [ds[3]]))
 
         # ---------------------------------------- in-kernel dissipation
         # shared by BOTH iterations: iteration 1 differentiates the input
