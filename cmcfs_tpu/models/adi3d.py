@@ -22,6 +22,7 @@ write order.
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -54,6 +55,26 @@ NL_XMODE = True
 # the per-direction path (test_backends3d).  Read at trace time.
 NL_STACKED = True
 
+# Targeted-layout writes on the stacked-carry step: each direction's pair
+# kernel writes out/tn DIRECTLY in the consuming direction's kernel layout
+# (in-VMEM slab transposes + permuted-slice DMAs, dual writes for the
+# dual-consumer next-layer outputs), killing the 7 XLA relayouts per
+# global iteration entirely (~13% of the v4 step per profile_dirs; the
+# bound is Mosaic's lane-transpose throughput — A/B on silicon before
+# flipping this default).  Bitwise equal to the plain stacked step
+# (test_backends3d).  Read at trace time.
+NL_TARGETED = False
+
+# Env overrides for the three step-structure flags (CMCFS_NL_XMODE /
+# CMCFS_NL_STACKED / CMCFS_NL_TARGETED, "0"/"1") so gated modes are
+# selectable per run without editing source — tests and A/B probes flip
+# the module attributes directly instead (scripts/_nl_ab.py).
+for _f in ("NL_XMODE", "NL_STACKED", "NL_TARGETED"):
+    _v = os.environ.get("CMCFS_" + _f)
+    if _v is not None:
+        globals()[_f] = _v.strip().lower() not in ("", "0", "false")
+del _f, _v
+
 
 class ParamsArgs3D(NamedTuple):
     v_T: jnp.ndarray
@@ -75,13 +96,17 @@ NL_PERM3 = {1: (1, 0, 2), 2: (2, 0, 1)}      # canonical -> kernel layout
 NL_INV3 = {1: (1, 0, 2), 2: (1, 2, 0)}       # kernel layout -> canonical
 
 
-def _nl_scal(axis: int, pa: ParamsArgs3D, dt):
+def _nl_scal(axis: int, pa: ParamsArgs3D, dt, swap_jl: bool = False):
     """The pair kernel's (8,) scal vector for a physical direction: the
     last two entries are the cross-axis derivative scales in the KERNEL's
-    layout (j-dim, lane dim) — see NL_PERM3."""
+    layout (j-dim, lane dim) — see NL_PERM3.  ``swap_jl``: the caller's
+    layout swaps the two cross dims (the targeted stacked step's
+    L_Z=(z,y,x)) — pairs with the kernel's swap_cross flag."""
     h = (pa.dx, pa.dy, pa.dz)[axis]
     hj, hl = {0: (pa.dy, pa.dz), 1: (pa.dx, pa.dz),
               2: (pa.dx, pa.dy)}[axis]
+    if swap_jl:
+        hj, hl = hl, hj
     return jnp.stack([pa.v_vis / (h * h), pa.t_vis / (h * h), 3.0 / dt,
                       1.0 / (2.0 * h), pa.v_T, pa.t_phi,
                       1.0 / (2.0 * hj), 1.0 / (2.0 * hl)])
@@ -568,22 +593,125 @@ def _solve_nl_fused(axis: int, rhs: State3D, temp: State3D, out: State3D,
 def _nl_stacked_possible(cur: State3D, ga: GridArrays3D, backend: str,
                          num_local: int, merge_ok: tuple, plan) -> bool:
     """Static predicate for the stacked-carry step (NL_STACKED): every
-    direction must run the num_local-pair kernel in xmode on a single
-    chip, with an even num_local so the global merge folds in-kernel."""
-    if (plan is not None or not NL_STACKED or not NL_XMODE
+    direction must run the num_local-pair kernel in xmode, with an even
+    num_local so the global merge folds in-kernel.  Sharded runs
+    additionally need a 1-D plan without the Z-blocked wavefront and a
+    grid-X extent divisible by the shard count (every kernel layout puts
+    grid X on the j-dim for Y/Z, so shard_map splits it exactly)."""
+    if (not NL_STACKED or not NL_XMODE
             or num_local < 2 or num_local % 2 != 0):
         return False
     if backend not in ("fused_nl", "fused_bf16", "fused_pcr",
                        "fused_pcr_bf16"):
         return False
+    if plan is not None:
+        if getattr(plan, "nblockz", 0) > 1:
+            return False
+        if cur.u.shape[0] % plan.mesh.shape[plan.axis] != 0:
+            return False
     return all(_nl_pair_active(ax, cur.u.shape[ax], backend, merge_ok[ax],
-                               ga.cls_b[ax] is None, num_local, None)
+                               ga.cls_b[ax] is None, num_local, plan)
                for ax in range(3))
+
+
+def _nl_stacked_step_targeted(cur: State3D, nxt: State3D, ga: GridArrays3D,
+                              dt, num_global: int, num_local: int,
+                              pa: ParamsArgs3D, exact: bool, bf16: bool,
+                              pcr: bool = False):
+    """Stacked-carry step with in-kernel layout-targeted output writes:
+    each direction's final pair kernel writes out/tn DIRECTLY in the
+    consuming direction's kernel layout (fused_sweep_nl out_perms/tn_perm;
+    dual-consumer outputs are written once per consumer), so the XLA
+    relayouts between directions vanish — only the once-per-step seeding
+    transposes remain.
+
+    Layouts: L_X=(x,y,z), L_Y=(y,x,z), L_Z=(z,y,x).  NB: Z differs from
+    the non-targeted stacked step's (z,x,y): with (z,y,x) EVERY targeted
+    write's innermost destination run is long (the sweep dim n, or a full
+    LANES row), so the permuted-slice DMAs stay bandwidth-efficient.  The
+    flip puts o2's coordinate (y) on Z's j-dim — the kernel runs
+    swap_cross=True with an hj/hl-swapped scal; per-cell math is
+    unchanged, so the whole step stays bitwise equal to the plain stacked
+    path (test_backends3d).
+
+    Data flow per global iteration (TimeStep, AdiSolver3D.cpp:335-358):
+      Z: temp/rhs/op @ L_Z -> tn @ L_Y (Y temp), out @ L_Y (Y rhs)
+                                                 + L_X (X op)
+      Y: temp/rhs @ L_Y, op = half4 @ L_Y -> tn @ L_X (X temp),
+         out @ L_Y (next-Y op, aliased) + L_X (X rhs)
+      X: temp/rhs/op @ L_X, gmerge folded -> tn @ L_Z (next Z temp),
+         out @ L_Z (next Z op); final iteration: out @ L_X (the result).
+    """
+    from ..ops.pallas_sweep_nl import fused_sweep_nl, IDP
+    f32 = jnp.float32
+    PZ = (2, 1, 0)     # L_X <-> L_Z (self-inverse)
+    PY = (1, 0, 2)     # L_X <-> L_Y (self-inverse)
+
+    def t3(a, p):
+        return jnp.transpose(a, p)
+
+    def t4(a, p):
+        return jnp.transpose(a, (0,) + tuple(d + 1 for d in p))
+
+    scals = {0: _nl_scal(0, pa, dt), 1: _nl_scal(1, pa, dt),
+             2: _nl_scal(2, pa, dt, swap_jl=True)}
+    masks = {}
+    for axis, p in ((0, None), (1, PY), (2, PZ)):
+        c, bv, bt = ga.cls_a[axis], ga.bc_vel, ga.bc_temp
+        if p is not None:
+            c, bv, bt = t3(c, p), t3(bv, p), t3(bt, p)
+        masks[axis] = (c, bv, bt)
+
+    def run_dir(axis, temp4, rhs4, op4, out_perms, tn_perm, gmerge_last):
+        cls, bv, bt = masks[axis]
+        r4 = rhs4.astype(jnp.bfloat16) if bf16 else rhs4
+        pairs = num_local // 2
+        out4 = op4
+        for k in range(pairs):
+            last = k == pairs - 1
+            o_in = out4.astype(jnp.bfloat16) if bf16 else out4
+            res, tn4 = fused_sweep_nl(
+                temp4, cls, bv, bt, r4, o_in, scals[axis], sweep_axis=0,
+                axis_var=axis, exact=exact, gmerge=gmerge_last and last,
+                pcr=pcr, out_perms=out_perms if last else (IDP,),
+                tn_perm=tn_perm if last else IDP, swap_cross=(axis == 2))
+            if bf16:
+                res = tuple(o.astype(f32) for o in res)
+                tn4 = tn4.astype(f32)
+            if not last:
+                temp4, out4 = tn4, res[0]
+        return res, tn4
+
+    cur4 = jnp.stack(tuple(cur))                      # L_X
+    nxt4 = jnp.stack(tuple(nxt))                      # L_X
+    n4, nx, ny, nz = cur4.shape
+    curZ = t4(cur4, PZ)                               # Z's rhs, constant
+    tempZ = curZ                                      # temp == cur, @ L_Z
+    opZ = t4(nxt4, PZ)                                # Z's out_prev @ L_Z
+    half4 = jnp.zeros((n4, ny, nx, nz), cur4.dtype)   # L_Y
+    nxt_out = None
+    for g in range(num_global):
+        last_g = g == num_global - 1
+        (rhsY, opX), tY = run_dir(2, tempZ, curZ, opZ,
+                                  out_perms=((1, 2, 0), (2, 1, 0)),
+                                  tn_perm=(1, 2, 0), gmerge_last=False)
+        (half4, rhsX), tX = run_dir(1, tY, rhsY, half4,
+                                    out_perms=(IDP, (1, 0, 2)),
+                                    tn_perm=(1, 0, 2), gmerge_last=False)
+        if last_g:
+            (nxt_out,), _ = run_dir(0, tX, rhsX, opX, out_perms=(IDP,),
+                                    tn_perm=IDP, gmerge_last=True)
+        else:
+            (opZ,), tempZ = run_dir(0, tX, rhsX, opX,
+                                    out_perms=((2, 1, 0),),
+                                    tn_perm=(2, 1, 0), gmerge_last=True)
+    return nxt_out
 
 
 def _nl_stacked_step(cur: State3D, nxt: State3D, ga: GridArrays3D, dt,
                      num_global: int, num_local: int, pa: ParamsArgs3D,
-                     exact: bool, bf16: bool, pcr: bool = False):
+                     exact: bool, bf16: bool, pcr: bool = False,
+                     plan=None):
     """The whole TimeStep on stacked 4-var field arrays carried in each
     direction's kernel layout (see NL_STACKED above).
 
@@ -595,7 +723,20 @@ def _nl_stacked_step(cur: State3D, nxt: State3D, ga: GridArrays3D, dt,
          its producer and consumer-as-out are both the Y direction)
       X: rhs=half@L_Y->L_X, temp@L_Y->L_X, out=nxt@L_Z->L_X, global merge
          folded in-kernel (gmerge) on the final pair.
-    Returns the new next layer as a stacked (4, nx, ny, nz) array."""
+    Returns the new next layer as a stacked (4, nx, ny, nz) array.
+
+    ``plan`` (sharded runs): EVERY kernel layout places the sharded grid-X
+    axis on the kernel's j-dim for Y/Z — and the X direction reshards so
+    grid Y (again the j-dim) splits — so ONE uniform shard_map wrapper
+    with the 1-plane j-halo pre-exchange of _solve_nl_fused serves all
+    three directions.  Z->Y transposes keep grid X on dim 1 (collective-
+    free, GSPMD-local); only entering and leaving L_X reshards (the same
+    two all_to_alls per global iteration the per-direction path pays).
+    Per-cell kernel operands are bit-identical to the per-direction
+    sharded path, so results stay bitwise equal (test_parallel)."""
+    if NL_TARGETED and plan is None:
+        return _nl_stacked_step_targeted(cur, nxt, ga, dt, num_global,
+                                         num_local, pa, exact, bf16, pcr)
     from ..ops.pallas_sweep_nl import fused_sweep_nl
     f32 = jnp.float32
 
@@ -618,35 +759,98 @@ def _nl_stacked_step(cur: State3D, nxt: State3D, ga: GridArrays3D, dt,
         return jnp.transpose(a, (0,) + tuple(d + 1 for d in p))
 
     scals = {ax: _nl_scal(ax, pa, dt) for ax in range(3)}
+
+    cur4 = jnp.stack(tuple(cur))                      # L_X
+    nxt4 = jnp.stack(tuple(nxt))                      # L_X
+    ny0 = cur4.shape[2]
+    ga_k = ga
+    if plan is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        ax = plan.axis
+        nsh = plan.mesh.shape[ax]
+        # grid Y is the X direction's shard (j-)dim: pad it ONCE for the
+        # whole step to shard divisibility — padded rows are identity rows
+        # (cls 0), inert in Y's sweep dim and Z's lane dim alike, cropped
+        # at the end (the per-direction path pads per X call instead)
+        pad_y = (-ny0) % nsh
+        if pad_y:
+            p3 = ((0, 0), (0, pad_y), (0, 0))
+            ga_k = ga._replace(
+                cls_a=tuple(jnp.pad(c, p3) for c in ga.cls_a),
+                bc_vel=jnp.pad(ga.bc_vel, p3),
+                bc_temp=jnp.pad(ga.bc_temp, p3))
+            cur4 = jnp.pad(cur4, ((0, 0),) + p3)
+            nxt4 = jnp.pad(nxt4, ((0, 0),) + p3)
+
     # static masks per direction, in kernel layout (traced once; XLA CSEs
     # the transposed copies across global iterations)
     masks = {}
     for axis, p in ((0, None), (1, PX2Y), (2, PX2Z)):
-        c, bv, bt = ga.cls_a[axis], ga.bc_vel, ga.bc_temp
+        c, bv, bt = ga_k.cls_a[axis], ga_k.bc_vel, ga_k.bc_temp
         if p is not None:
             c, bv, bt = t3(c, p), t3(bv, p), t3(bt, p)
         masks[axis] = (c, bv, bt)
 
+    if plan is None:
+        def call(axis, t4_, r4_, o4_, gmerge):
+            cls, bv, bt = masks[axis]
+            return fused_sweep_nl(t4_, cls, bv, bt, r4_, o4_, scals[axis],
+                                  sweep_axis=0, axis_var=axis, exact=exact,
+                                  gmerge=gmerge, pcr=pcr)
+    else:
+        # every direction's kernel layout has the sharded dim on the
+        # kernel's j-dim (grid X for Y/Z, grid Y for the resharded X), so
+        # one wrapper serves all three: 1-plane j-halo pre-exchange over
+        # ICI, kernel per shard, halo planes of the outputs discarded
+        # (identical machinery to _solve_nl_fused's sharded path — the
+        # halo line's redundant solve is bitwise the owner's)
+        spec3 = P(None, ax, None)
+        spec4 = P(None, None, ax, None)
+        fwd = [(i, i + 1) for i in range(nsh - 1)]
+        bwd = [(i + 1, i) for i in range(nsh - 1)]
+
+        def ext(arr, dim):
+            first = jax.lax.slice_in_dim(arr, 0, 1, axis=dim)
+            if nsh == 1:
+                z = jnp.zeros_like(first)
+                return jnp.concatenate([z, arr, z], axis=dim)
+            last = jax.lax.slice_in_dim(arr, arr.shape[dim] - 1,
+                                        arr.shape[dim], axis=dim)
+            lh = jax.lax.ppermute(last, ax, fwd)
+            rh = jax.lax.ppermute(first, ax, bwd)
+            return jnp.concatenate([lh, arr, rh], axis=dim)
+
+        def call(axis, t4_, r4_, o4_, gmerge):
+            cls, bv, bt = masks[axis]
+
+            @functools.partial(
+                jax.shard_map, mesh=plan.mesh,
+                in_specs=(spec4, spec3, spec3, spec3, spec4, spec4,
+                          P(None)),
+                out_specs=(spec4, spec4), check_vma=False)
+            def krun(t4s, c3s, bvs, bts, r4s, o4s, scal_):
+                o4x, t4x = fused_sweep_nl(
+                    ext(t4s, 2), ext(c3s, 1), ext(bvs, 1), ext(bts, 1),
+                    ext(r4s, 2), ext(o4s, 2), scal_, sweep_axis=0,
+                    axis_var=axis, exact=exact, gmerge=gmerge, pcr=pcr)
+                return o4x[:, :, 1:-1], t4x[:, :, 1:-1]
+
+            return krun(t4_, cls, bv, bt, r4_, o4_, scals[axis])
+
     def run_dir(axis, temp4, rhs4, op4, gmerge_last):
-        cls, bv, bt = masks[axis]
         r4 = rhs4.astype(jnp.bfloat16) if bf16 else rhs4
         out4 = op4
         pairs = num_local // 2
         for k in range(pairs):
             o_in = out4.astype(jnp.bfloat16) if bf16 else out4
-            o4, tn4 = fused_sweep_nl(temp4, cls, bv, bt, r4, o_in,
-                                     scals[axis], sweep_axis=0,
-                                     axis_var=axis, exact=exact,
-                                     gmerge=gmerge_last and k == pairs - 1,
-                                     pcr=pcr)
+            o4, tn4 = call(axis, temp4, r4, o_in,
+                           gmerge_last and k == pairs - 1)
             if bf16:
                 o4 = o4.astype(f32)
                 tn4 = tn4.astype(f32)
             temp4, out4 = tn4, o4
         return temp4, out4
 
-    cur4 = jnp.stack(tuple(cur))                      # L_X
-    nxt4 = jnp.stack(tuple(nxt))                      # L_X
     temp4 = cur4                                      # L_X
     curZ = t4(cur4, PX2Z)                             # Z's rhs, constant
     n4, nx, ny, nz = cur4.shape
@@ -658,6 +862,12 @@ def _nl_stacked_step(cur: State3D, nxt: State3D, ga: GridArrays3D, dt,
                             gmerge_last=False)
         temp4, nxt4 = run_dir(0, t4(tY, PY2X), t4(half4, PY2X),
                               t4(nxtZ, PZ2X), gmerge_last=True)
+    if plan is not None:
+        if ny0 != nxt4.shape[2]:
+            nxt4 = nxt4[:, :, :ny0]
+        # back to the canonical X split for the XLA ops around us
+        nxt4 = jax.lax.with_sharding_constraint(
+            nxt4, NamedSharding(plan.mesh, P(None, ax, None, None)))
     return nxt4
 
 
@@ -881,7 +1091,8 @@ def adi_timestep_3d(cur: State3D, nxt_prev: State3D, ga: GridArrays3D, dt,
         nxt4 = _nl_stacked_step(cur, nxt, ga, dt, num_global, num_local,
                                 pa, exact,
                                 backend in ("fused_bf16", "fused_pcr_bf16"),
-                                backend in ("fused_pcr", "fused_pcr_bf16"))
+                                backend in ("fused_pcr", "fused_pcr_bf16"),
+                                plan=plan)
         nxt = State3D(nxt4[0], nxt4[1], nxt4[2], nxt4[3])
     else:
         half = State3D(*(jnp.zeros_like(f) for f in cur))

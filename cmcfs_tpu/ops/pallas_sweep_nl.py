@@ -69,10 +69,12 @@ from .sweep_common import (LANES, S_TILE, build_a, build_abc,
 
 MAX_SWEEP = 256
 N_MRG = 4     # row-chunk count for vectorized slab passes (VMEM stack cap)
+IDP = (0, 1, 2)   # identity output layout
 
 
 def _make_kernel(n, sweep_axis, axis_var, exact, c_blocks, n_blocks,
-                 gmerge=False, bf16=False, pcr=False):
+                 gmerge=False, bf16=False, pcr=False,
+                 out_perms=(IDP,), tn_perm=IDP, swap_cross=False):
     row, set_row = make_row_ops(sweep_axis)
     total = n_blocks * c_blocks
     lag = c_blocks
@@ -94,20 +96,73 @@ def _make_kernel(n, sweep_axis, axis_var, exact, c_blocks, n_blocks,
         return ((slice(a, b),) if sweep_axis == 0
                 else (slice(None), slice(a, b)))
 
+    n_dst = len(out_perms)
+
     def body(scal_ref, temp_hbm, pk_hbm, rhs_hbm, op_hbm,
-             out_hbm, tn_hbm,
+             outs_hbm, tn_hbm,
              adv_r, T_v, op_buf, aux_buf, rhs_r, tnA, tnB, o1r, pkr,
              out_buf, tn_buf, cp, rbuf, h1s, h2s, gavs, go1s, go2s,
              f1s, f2s,
              adv_sems, sh_sems, in_sems, out_sems,
-             out_bf=None, tn_bf=None, rhs_f=None):
+             out_bf=None, tn_bf=None, rhs_f=None,
+             o_stage=(None,), tn_stage=None):
         f32 = jnp.float32
 
-        def out_dma_ref(slot):
-            return out_bf.at[slot] if bf16 else out_buf.at[slot]
+        def slabP(ref, vv, b, p):
+            # the block's slab slice in an output laid out as
+            # transpose(kernel_layout, p) — targeted writes (sweep_axis=0)
+            jj = jax.lax.div(b, c_blocks)
+            cc = jax.lax.rem(b, c_blocks)
+            idx = (slice(None), pl.ds(jj * S_TILE, S_TILE),
+                   pl.ds(cc * LANES, LANES))
+            return ref.at[(vv,) + tuple(idx[p[j]] for j in range(3))]
 
-        def tn_dma_ref(slot):
-            return tn_bf.at[slot] if bf16 else tn_buf.at[slot]
+        def stage_store(dst, val, p):
+            """Transpose the (n, S_TILE, LANES) slab value into a
+            destination-layout staging buffer.  (1,0,2) is a sublane-only
+            relayout; the lane-crossing perms decompose into S_TILE 2D
+            (n, LANES) -> (LANES, n) transposes."""
+            if p == (1, 0, 2):
+                dst[...] = jnp.transpose(val, (1, 0, 2))
+                return
+            for j in range(S_TILE):
+                v2 = jnp.transpose(val[:, j, :])
+                if p == (1, 2, 0):
+                    dst[j, :, :] = v2
+                else:                      # (2, 1, 0)
+                    dst[:, j, :] = v2
+
+        def stage_outputs(slot):
+            src_o = out_bf[slot] if bf16 else out_buf[slot]
+            src_t = tn_bf[slot] if bf16 else tn_buf[slot]
+            for d, p in enumerate(out_perms):
+                if p != IDP:
+                    stage_store(o_stage[d].at[slot], src_o, p)
+            if tn_perm != IDP:
+                stage_store(tn_stage.at[slot], src_t, tn_perm)
+
+        def io_copies(slot, v, b):
+            """All output DMAs (every out destination + tn) for variable v
+            of block b, sourced from slot's work/staging buffers."""
+            cps = []
+            for d, p in enumerate(out_perms):
+                if p == IDP:
+                    src = (out_bf if bf16 else out_buf).at[slot]
+                    dst = slab4(outs_hbm[d], v, b)
+                else:
+                    src = o_stage[d].at[slot]
+                    dst = slabP(outs_hbm[d], v, b, p)
+                cps.append(pltpu.make_async_copy(src, dst,
+                                                 out_sems.at[slot, d]))
+            if tn_perm == IDP:
+                src = (tn_bf if bf16 else tn_buf).at[slot]
+                dst = slab4(tn_hbm, v, b)
+            else:
+                src = tn_stage.at[slot]
+                dst = slabP(tn_hbm, v, b, tn_perm)
+            cps.append(pltpu.make_async_copy(src, dst,
+                                             out_sems.at[slot, n_dst]))
+            return cps
 
         def rhs_ring_ref(rb, v):
             # bf16 payload: rows are read from the full-slab f32 upcast
@@ -465,7 +520,12 @@ def _make_kernel(n, sweep_axis, axis_var, exact, c_blocks, n_blocks,
                                                   - C[:, r, LANES - 2:LANES - 1]) * inv2h_l
 
         def assemble_forcing(dst):
-            # forcing = t_phi * diss; gavs/go1s/go2s/h1s/h2s must be filled
+            # forcing = t_phi * diss; gavs/go1s/go2s/h1s/h2s must be filled.
+            # swap_cross: the caller's layout puts o2's coordinate on the
+            # j-dim and o1's on the lane dim (e.g. the targeted stacked
+            # step's L_Z=(z,y,x)), so the cross-derivative pairing flips —
+            # term ORDER stays by variable index, keeping bitwise parity.
+            hA, hB = (h2s, h1s) if swap_cross else (h1s, h2s)
             for m in range(N_MRG):
                 sl = mrg_sl(m)
                 gav = gavs[sl]
@@ -473,13 +533,13 @@ def _make_kernel(n, sweep_axis, axis_var, exact, c_blocks, n_blocks,
                 go2 = go2s[sl]
                 if axis_var == 0:
                     diss = (2 * gav * gav + go1 * go1 + go2 * go2
-                            + go1 * h1s[sl] + go2 * h2s[sl])
+                            + go1 * hA[sl] + go2 * hB[sl])
                 elif axis_var == 1:
                     diss = (go1 * go1 + 2 * gav * gav + go2 * go2
-                            + go1 * h1s[sl] + go2 * h2s[sl])
+                            + go1 * hA[sl] + go2 * hB[sl])
                 else:
                     diss = (go1 * go1 + go2 * go2 + 2 * gav * gav
-                            + go1 * h1s[sl] + go2 * h2s[sl])
+                            + go1 * hA[sl] + go2 * hB[sl])
                 dst[sl] = t_phi * diss
 
         def adv_nb(b):
@@ -652,15 +712,11 @@ def _make_kernel(n, sweep_axis, axis_var, exact, c_blocks, n_blocks,
             if pcr:
                 @pl.when(b2 > 0)
                 def _():
-                    # previous block's 8 output DMAs must land before the
-                    # 4-slot out/tn work buffers are rewritten
+                    # previous block's output DMAs must land before the
+                    # 4-slot out/tn work (and staging) buffers are rewritten
                     for v in range(4):
-                        pltpu.make_async_copy(out_dma_ref(v),
-                                              slab4(out_hbm, v, b2 - 1),
-                                              out_sems.at[v, 0]).wait()
-                        pltpu.make_async_copy(tn_dma_ref(v),
-                                              slab4(tn_hbm, v, b2 - 1),
-                                              out_sems.at[v, 1]).wait()
+                        for cpy in io_copies(v, v, b2 - 1):
+                            cpy.wait()
 
                 def tv_ref2(v):
                     if v == axis_var:
@@ -696,34 +752,21 @@ def _make_kernel(n, sweep_axis, axis_var, exact, c_blocks, n_blocks,
                     if bf16:
                         out_bf[v] = out_buf[v].astype(jnp.bfloat16)
                         tn_bf[v] = tn_buf[v].astype(jnp.bfloat16)
-                    pltpu.make_async_copy(out_dma_ref(v),
-                                          slab4(out_hbm, v, b2),
-                                          out_sems.at[v, 0]).start()
-                    pltpu.make_async_copy(tn_dma_ref(v),
-                                          slab4(tn_hbm, v, b2),
-                                          out_sems.at[v, 1]).start()
+                    stage_outputs(v)
+                    for cpy in io_copies(v, v, b2):
+                        cpy.start()
             else:
                 coeff_pass(adv2, pk2, v_vis_h2, for_T=False)
                 for v in range(4):
                     slot = v % 2
                     if v >= 2:
-                        pltpu.make_async_copy(out_dma_ref(slot),
-                                              slab4(out_hbm, v - 2, b2),
-                                              out_sems.at[slot, 0]).wait()
-                        pltpu.make_async_copy(tn_dma_ref(slot),
-                                              slab4(tn_hbm, v - 2, b2),
-                                              out_sems.at[slot, 1]).wait()
+                        for cpy in io_copies(slot, v - 2, b2):
+                            cpy.wait()
                     else:
                         @pl.when(b2 > 0)
                         def _():
-                            pltpu.make_async_copy(
-                                out_dma_ref(slot),
-                                slab4(out_hbm, v + 2, b2 - 1),
-                                out_sems.at[slot, 0]).wait()
-                            pltpu.make_async_copy(
-                                tn_dma_ref(slot),
-                                slab4(tn_hbm, v + 2, b2 - 1),
-                                out_sems.at[slot, 1]).wait()
+                            for cpy in io_copies(slot, v + 2, b2 - 1):
+                                cpy.wait()
                     if v == 3:
                         coeff_pass(adv2, pk2, t_vis_h2, for_T=True)
                     tv2 = (adv2 if v == axis_var
@@ -754,56 +797,67 @@ def _make_kernel(n, sweep_axis, axis_var, exact, c_blocks, n_blocks,
                     if bf16:
                         out_bf[slot] = out_buf[slot].astype(jnp.bfloat16)
                         tn_bf[slot] = tn_buf[slot].astype(jnp.bfloat16)
-                    pltpu.make_async_copy(out_dma_ref(slot),
-                                          slab4(out_hbm, v, b2),
-                                          out_sems.at[slot, 0]).start()
-                    pltpu.make_async_copy(tn_dma_ref(slot),
-                                          slab4(tn_hbm, v, b2),
-                                          out_sems.at[slot, 1]).start()
+                    stage_outputs(slot)
+                    for cpy in io_copies(slot, v, b2):
+                        cpy.start()
 
         @pl.when(L == total + lag - 1)
         def _():
             if pcr:
                 for v in range(4):
-                    pltpu.make_async_copy(out_dma_ref(v),
-                                          slab4(out_hbm, v, total - 1),
-                                          out_sems.at[v, 0]).wait()
-                    pltpu.make_async_copy(tn_dma_ref(v),
-                                          slab4(tn_hbm, v, total - 1),
-                                          out_sems.at[v, 1]).wait()
+                    for cpy in io_copies(v, v, total - 1):
+                        cpy.wait()
             else:
                 for v in (2, 3):
-                    pltpu.make_async_copy(out_dma_ref(v % 2),
-                                          slab4(out_hbm, v, total - 1),
-                                          out_sems.at[v % 2, 0]).wait()
-                    pltpu.make_async_copy(tn_dma_ref(v % 2),
-                                          slab4(tn_hbm, v, total - 1),
-                                          out_sems.at[v % 2, 1]).wait()
+                    for cpy in io_copies(v % 2, v, total - 1):
+                        cpy.wait()
 
-    if bf16:
-        def kernel(scal_ref, temp_hbm, pk_hbm, rhs_hbm, op_hbm,
-                   out_hbm, tn_hbm,
-                   adv_r, T_v, op_buf, aux_buf, rhs_r, tnA, tnB, o1r, pkr,
-                   out_buf, tn_buf, out_bf, tn_bf, rhs_f,
-                   cp, rbuf, h1s, h2s, gavs, go1s, go2s, f1s, f2s,
-                   adv_sems, sh_sems, in_sems, out_sems):
-            body(scal_ref, temp_hbm, pk_hbm, rhs_hbm, op_hbm,
-                 out_hbm, tn_hbm,
-                 adv_r, T_v, op_buf, aux_buf, rhs_r, tnA, tnB, o1r, pkr,
-                 out_buf, tn_buf, cp, rbuf, h1s, h2s, gavs, go1s, go2s,
-                 f1s, f2s,
-                 adv_sems, sh_sems, in_sems, out_sems,
-                 out_bf=out_bf, tn_bf=tn_bf, rhs_f=rhs_f)
-        return kernel
-    return body
+    def kernel(*refs):
+        scal_ref = refs[0]
+        temp_hbm, pk_hbm, rhs_hbm, op_hbm = refs[1:5]
+        outs_hbm = refs[5:5 + n_dst]
+        tn_hbm = refs[5 + n_dst]
+        s = refs[6 + n_dst:]
+        (adv_r, T_v, op_buf, aux_buf, rhs_r, tnA, tnB, o1r, pkr,
+         out_buf, tn_buf) = s[:11]
+        k = 11
+        out_bf = tn_bf = rhs_f = None
+        if bf16:
+            out_bf, tn_bf, rhs_f = s[k:k + 3]
+            k += 3
+        o_stage = []
+        for p in out_perms:
+            if p == IDP:
+                o_stage.append(None)
+            else:
+                o_stage.append(s[k])
+                k += 1
+        tn_stage = None
+        if tn_perm != IDP:
+            tn_stage = s[k]
+            k += 1
+        (cp, rbuf, h1s, h2s, gavs, go1s, go2s, f1s, f2s) = s[k:k + 9]
+        k += 9
+        adv_sems, sh_sems, in_sems, out_sems = s[k:k + 4]
+        body(scal_ref, temp_hbm, pk_hbm, rhs_hbm, op_hbm,
+             outs_hbm, tn_hbm,
+             adv_r, T_v, op_buf, aux_buf, rhs_r, tnA, tnB, o1r, pkr,
+             out_buf, tn_buf, cp, rbuf, h1s, h2s, gavs, go1s, go2s,
+             f1s, f2s,
+             adv_sems, sh_sems, in_sems, out_sems,
+             out_bf=out_bf, tn_bf=tn_bf, rhs_f=rhs_f,
+             o_stage=tuple(o_stage), tn_stage=tn_stage)
+    return kernel
 
 
 @functools.partial(jax.jit,
                    static_argnames=("sweep_axis", "axis_var", "exact",
-                                    "gmerge", "pcr"))
+                                    "gmerge", "pcr", "out_perms", "tn_perm",
+                                    "swap_cross"))
 def fused_sweep_nl(temp4, cls, bcv, bct, rhs4, out_prev4, scal,
                    sweep_axis: int, axis_var: int, exact: bool = True,
-                   gmerge: bool = False, pcr: bool = False):
+                   gmerge: bool = False, pcr: bool = False,
+                   out_perms=None, tn_perm=None, swap_cross: bool = False):
     """Two fused local iterations; returns (out2_4, temp2_4).
 
     Arguments as pallas_sweep_stream.fused_sweep_stream minus the
@@ -819,8 +873,30 @@ def fused_sweep_nl(temp4, cls, bcv, bct, rhs4, out_prev4, scal,
     attack; NOT bitwise vs the Thomas backends — ~ulp-class drift on the
     diagonally dominant ADI rows).  Requires sweep_axis == 0 (the xmode
     layout all default paths use).
+
+    ``out_perms`` / ``tn_perm`` (targeted-layout writes, sweep_axis=0
+    only): each entry p writes that output as transpose(kernel_layout, p)
+    — the slab is transposed IN VMEM and DMA'd to the permuted slice, so
+    the consuming direction's relayout never touches HBM (the
+    inter-direction transpose the stacked-carry step otherwise pays).
+    ``out_perms`` may hold SEVERAL perms: dual-consumer outputs (e.g. Z's
+    next-layer feeding both Y's rhs and X's out_prev) are written once
+    per consumer layout (+1 write stream ≪ a separate transpose's
+    read+write).  Supported perms: (0,1,2), (1,0,2), (1,2,0), (2,1,0).
+    When set, returns (tuple_of_outs, temp2).  ``swap_cross``: the
+    caller's layout maps o2's coordinate to the j-dim and o1's to lanes
+    (the targeted step's L_Z), flipping the cross-derivative pairing in
+    the in-kernel dissipation.
     """
     assert not (pcr and sweep_axis != 0), "pcr mode needs the xmode layout"
+    targeted = out_perms is not None or tn_perm is not None
+    ops_ = tuple(tuple(p) for p in out_perms) if out_perms else (IDP,)
+    tnp_ = tuple(tn_perm) if tn_perm else IDP
+    assert not (targeted and sweep_axis != 0), \
+        "targeted layout writes need the xmode layout"
+    allowed = {IDP, (1, 0, 2), (1, 2, 0), (2, 1, 0)}
+    assert all(p in allowed for p in ops_) and tnp_ in allowed, (ops_, tnp_)
+    n_dst = len(ops_)
     _, A, B, C = temp4.shape
     Cp = _ceil_to(C, LANES)
     Ap = _ceil_to(A, S_TILE)
@@ -882,16 +958,40 @@ def fused_sweep_nl(temp4, cls, bcv, bct, rhs4, out_prev4, scal,
         bf_scratch = [pltpu.VMEM((n_ot,) + slab, pay),  # out_bf DMA buffers
                       pltpu.VMEM((n_ot,) + slab, pay),  # tn_bf DMA buffers
                       pltpu.VMEM(slab, f32)]            # rhs upcast stage
+
+    # targeted-layout staging buffers (one n_ot-slot group per non-identity
+    # destination, in the destination's slab orientation)
+    def pshape(p):
+        return tuple(slab[k] for k in p)
+
+    stage_scratch = [pltpu.VMEM((n_ot,) + pshape(p), pay)
+                     for p in ops_ if p != IDP]
+    n_stage = len(stage_scratch)
+    if tnp_ != IDP:
+        stage_scratch.append(pltpu.VMEM((n_ot,) + pshape(tnp_), pay))
+        n_stage += 1
+
+    vmem_need += int(n_stage * n_ot * pay_f * slab_bytes)
+
+    def oshape(p):
+        return (4,) + tuple((Ap, Bp, Cp)[k] for k in p)
+
+    # out_prev can donate its buffer only to an identity-layout first
+    # destination (same shape/dtype); every block fully writes every
+    # output, so the alias is purely a memory optimization
+    aliases = {4: 0} if ops_[0] == IDP else {}
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
-    out, tn = pl.pallas_call(
+    result = pl.pallas_call(
         _make_kernel(n, sweep_axis, axis_var, exact, c_blocks, n_blocks,
-                     gmerge=gmerge, bf16=bf16, pcr=pcr),
+                     gmerge=gmerge, bf16=bf16, pcr=pcr,
+                     out_perms=ops_, tn_perm=tnp_, swap_cross=swap_cross),
         grid=(n_blocks * c_blocks + c_blocks,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [any_spec] * 4,
-        out_specs=(any_spec, any_spec),
-        out_shape=(jax.ShapeDtypeStruct((4, Ap, Bp, Cp), pay),
-                   jax.ShapeDtypeStruct((4, Ap, Bp, Cp), pay)),
-        input_output_aliases={4: 0},    # out_prev buffer IS the output layer
+        out_specs=(any_spec,) * (n_dst + 1),
+        out_shape=tuple(jax.ShapeDtypeStruct(oshape(p), pay)
+                        for p in ops_)
+        + (jax.ShapeDtypeStruct(oshape(tnp_), pay),),
+        input_output_aliases=aliases,
         scratch_shapes=[
             pltpu.VMEM((S_AV,) + slab, f32),       # temp[axis_var] halo ring
             pltpu.VMEM((2,) + slab, f32),          # T1 (block parity)
@@ -904,7 +1004,7 @@ def fused_sweep_nl(temp4, cls, bcv, bct, rhs4, out_prev4, scal,
             pltpu.VMEM((S_P,) + slab, f32),        # pk ring
             pltpu.VMEM((n_ot,) + slab, f32),       # out2 work buffers
             pltpu.VMEM((n_ot,) + slab, f32),       # tn2 work buffers
-        ] + bf_scratch + [
+        ] + bf_scratch + stage_scratch + [
             pltpu.VMEM(slab, f32),                 # c' line
             pltpu.VMEM(slab, f32),                 # denom / 1/denom line
             pltpu.VMEM(slab, f32),                 # h1 (j-dim deriv)
@@ -917,7 +1017,7 @@ def fused_sweep_nl(temp4, cls, bcv, bct, rhs4, out_prev4, scal,
             pltpu.SemaphoreType.DMA((S_AV,)),      # adv ring sems
             pltpu.SemaphoreType.DMA((2, 2)),       # sh_sems [par, T|pk]
             pltpu.SemaphoreType.DMA(in_sem_shape),  # in_sems
-            pltpu.SemaphoreType.DMA((n_ot, 2)),    # out_sems
+            pltpu.SemaphoreType.DMA((n_ot, n_dst + 1)),   # out_sems
         ],
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
@@ -927,4 +1027,12 @@ def fused_sweep_nl(temp4, cls, bcv, bct, rhs4, out_prev4, scal,
         interpret=(jax.default_backend() != "tpu"),
     )(scal, tp4, pkp, rp4, op4)
 
-    return out[:, :A, :B, :C], tn[:, :A, :B, :C]
+    def unpad(arr, p):
+        dims = (A, B, C)
+        return arr[(slice(None),) + tuple(slice(0, dims[k]) for k in p)]
+
+    outs = tuple(unpad(result[d], p) for d, p in enumerate(ops_))
+    tn = unpad(result[n_dst], tnp_)
+    if not targeted:
+        return outs[0], tn
+    return outs, tn

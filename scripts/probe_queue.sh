@@ -28,6 +28,8 @@ for attempt in 1 2 3; do
     run_probe probe_pcr_r3 env PROBE_MODES=dma,comps,pcr,full python scripts/kernel_probe.py --reps 10
   [ -s bench_logs/ab_pcr_r3.log ] && grep -q "ms/step" bench_logs/ab_pcr_r3.log || \
     run_probe ab_pcr_r3 python scripts/ab_step.py --backends fused_nl,fused_pcr --steps 10 --reps 2
+  [ -s bench_logs/ab_targeted_r3.log ] && grep -q "ms/step" bench_logs/ab_targeted_r3.log || \
+    run_probe ab_targeted_r3 python scripts/probe_nl_targeted.py --steps 10 --reps 2
   [ -s bench_logs/bench_r3.log ] && grep -q "metric" bench_logs/bench_r3.log || \
     run_probe bench_r3 python bench.py
   # done when all three have content

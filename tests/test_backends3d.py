@@ -236,6 +236,40 @@ def test_nl_stacked_carry_bitwise():
         adi3d.adi_timestep_3d.clear_cache()
 
 
+@pytest.mark.parametrize("backend,nl", [("fused_nl", 2), ("fused_nl", 4),
+                                        ("fused_bf16", 2),
+                                        ("fused_pcr", 2)])
+def test_nl_targeted_layout_writes_bitwise(backend, nl):
+    """The targeted-layout stacked step (adi3d.NL_TARGETED: each
+    direction's pair kernel writes out/tn directly in the consuming
+    direction's kernel layout, dual writes for dual-consumer outputs,
+    Z layout flipped to (z,y,x) with swap_cross) feeds the kernels
+    bit-identical per-cell operands, so it must be BITWISE equal to the
+    plain stacked path — covering the permuted-slice DMAs, the in-VMEM
+    slab transposes, the chained-pair identity prefix (nl=4), the bf16
+    staging dtypes, and the pcr 4-slot staging."""
+    adi3d, ga, cur, pa, merge_ok = _setup()
+    if not all(merge_ok):
+        pytest.skip("fixture has a non-foldable axis")
+    dt = jnp.float32(0.01)
+    saved = adi3d.NL_TARGETED
+    try:
+        outs = {}
+        for flag in (False, True):
+            adi3d.NL_TARGETED = flag
+            adi3d.adi_timestep_3d.clear_cache()
+            outs[flag], _ = adi3d.adi_timestep_3d(
+                cur, cur, ga, dt, 2, nl, pa, backend=backend, exact=True,
+                compute_error=False, merge_ok=merge_ok)
+        assert adi3d._nl_stacked_possible(cur, ga, backend, nl, merge_ok,
+                                          None)
+        for r, o in zip(outs[False], outs[True]):
+            assert (np.asarray(o) == np.asarray(r)).all()
+    finally:
+        adi3d.NL_TARGETED = saved
+        adi3d.adi_timestep_3d.clear_cache()
+
+
 def test_fused_nl_sweep1_routing_matches_scan():
     """The pair kernel's sweep_axis=1 Y/Z routing (adi3d.NL_XMODE=False —
     the pre-xmode default, kept as the escape hatch) stays correct: with

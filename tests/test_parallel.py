@@ -341,6 +341,56 @@ def test_sharded_nl_pair_matches_unsharded():
                                    rtol=0, atol=5e-7)
 
 
+def test_sharded_nl_stacked_carry_bitwise():
+    """The sharded stacked-carry step (adi3d.NL_STACKED with a plan: the
+    whole num_global loop on 4-var stacks in kernel layouts, one uniform
+    1-plane j-halo shard_map wrapper for all three directions, grid Y
+    padded once for X's reshard divisibility) must be BITWISE equal to
+    the sharded per-direction path (NL_STACKED=False) — the kernels see
+    bit-identical per-cell operands; halo lines re-solve to the owner's
+    bits and padded rows are identity rows either way."""
+    import __graft_entry__ as g
+    from cmcfs_tpu.models import adi3d
+    from cmcfs_tpu.core.types import NodeType
+    from cmcfs_tpu.ops.masks import INTERIOR
+    from cmcfs_tpu.parallel.mesh import make_x_mesh
+
+    _, ga, cur, pa = g._setup(32, 19, 21, "scan")
+    is_in = np.asarray(ga.types) == NodeType.IN
+    merge_ok = tuple(
+        bool(((np.asarray(ga.cls_a[ax]) == INTERIOR) == is_in).all())
+        for ax in range(3))
+    if not all(merge_ok):
+        pytest.skip("fixture has a non-foldable axis")
+    dt = jnp.float32(0.01)
+
+    plan = make_x_mesh(8)
+    cur_s = plan.shard_state(cur)
+    ga_s = plan.shard_grid(ga)
+
+    saved = adi3d.NL_STACKED
+    outs = {}
+    try:
+        for flag in (False, True):
+            adi3d.NL_STACKED = flag
+            adi3d.adi_timestep_3d.clear_cache()
+            if flag:
+                assert adi3d._nl_stacked_possible(cur, ga, "fused_nl", 2,
+                                                  merge_ok, plan)
+            sh = cur_s
+            for _ in range(2):
+                sh, _ = adi3d.adi_timestep_3d(sh, sh, ga_s, dt, 2, 2, pa,
+                                              backend="fused_nl",
+                                              compute_error=False,
+                                              merge_ok=merge_ok, plan=plan)
+            outs[flag] = sh
+    finally:
+        adi3d.NL_STACKED = saved
+        adi3d.adi_timestep_3d.clear_cache()
+    for a, b in zip(outs[True], outs[False]):
+        assert (np.asarray(a) == np.asarray(b)).all()
+
+
 def test_sharded_nl_odd_tail_matches_unsharded():
     """Sharded fused_nl at num_local=3 — the mixed dispatch: Y/Z run one
     pair + a stream-kernel tail per shard, X falls back to the
