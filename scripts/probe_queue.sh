@@ -18,7 +18,7 @@ run_probe() {
   echo "=== $name exit $? $(date -u +%H:%M:%S) ==="
 }
 
-for attempt in 1 2 3; do
+for attempt in 1 2 3 4 5 6 7 8 9 10 11 12; do
   wait_tunnel || { echo "tunnel never came up (attempt $attempt)"; continue; }
   [ -s bench_logs/probe_glue_r3.log ] && grep -q "kernels-only\|ms/step" bench_logs/probe_glue_r3.log || \
     run_probe probe_glue_r3 python scripts/probe_glue.py --steps 10 --reps 2
