@@ -730,10 +730,13 @@ def _nl_stacked_step(cur: State3D, nxt: State3D, ga: GridArrays3D, dt,
     grid Y (again the j-dim) splits — so ONE uniform shard_map wrapper
     with the 1-plane j-halo pre-exchange of _solve_nl_fused serves all
     three directions.  Z->Y transposes keep grid X on dim 1 (collective-
-    free, GSPMD-local); only entering and leaving L_X reshards (the same
-    two all_to_alls per global iteration the per-direction path pays).
-    Per-cell kernel operands are bit-identical to the per-direction
-    sharded path, so results stay bitwise equal (test_parallel)."""
+    free, GSPMD-local); only entering and leaving L_X reshards — two
+    reshard points per global iteration (measured in compiled HLO at
+    ng=2: 9 vs the per-direction path's 27 all-to-alls, same halo
+    collective-permutes, zero all-gathers —
+    test_sharded_nl_stacked_collective_budget pins this).  Per-cell
+    kernel operands are bit-identical to the per-direction sharded
+    path, so results stay bitwise equal (test_parallel)."""
     if NL_TARGETED and plan is None:
         return _nl_stacked_step_targeted(cur, nxt, ga, dt, num_global,
                                          num_local, pa, exact, bf16, pcr)

@@ -62,6 +62,13 @@ def main():
     # identical host data on every process -> device_put places each
     # process's shards locally (the reference loads the grid on every rank
     # too, Grid3D.cpp:488)
+    if mode == "nl":
+        # the nl smoke must exercise the SHARDED STACKED-CARRY step (the
+        # production multi-chip path): whole-step kernel-layout stacks,
+        # uniform j-halo shard_map wrapper, cross-process all_to_alls
+        assert adi3d._nl_stacked_possible(cur, ga, "fused_nl", num_local,
+                                          merge_ok, plan), \
+            "nl smoke fixture no longer routes through the stacked step"
     cur = plan.shard_state(cur)
     ga = plan.shard_grid(ga)
     errs = {}

@@ -391,6 +391,57 @@ def test_sharded_nl_stacked_carry_bitwise():
         assert (np.asarray(a) == np.asarray(b)).all()
 
 
+def test_sharded_nl_stacked_collective_budget():
+    """Compiler-level pin of the sharded stacked step's communication
+    structure: entering/leaving L_X reshards once each per global
+    iteration (all_to_alls ride the resharding of the X direction's
+    lines), halos move via collective-permute, and NOTHING gets
+    all-gathered (an all-gather would mean GSPMD fell back to
+    rematerializing a replicated field — the exact regression this test
+    exists to catch)."""
+    import __graft_entry__ as g
+    from cmcfs_tpu.models import adi3d
+    from cmcfs_tpu.core.types import NodeType
+    from cmcfs_tpu.ops.masks import INTERIOR
+    from cmcfs_tpu.parallel.mesh import make_x_mesh
+
+    _, ga, cur, pa = g._setup(32, 16, 16, "scan")
+    is_in = np.asarray(ga.types) == NodeType.IN
+    merge_ok = tuple(
+        bool(((np.asarray(ga.cls_a[ax]) == INTERIOR) == is_in).all())
+        for ax in range(3))
+    if not all(merge_ok):
+        pytest.skip("fixture has a non-foldable axis")
+    dt = jnp.float32(0.01)
+    ng = 2
+
+    plan = make_x_mesh(8)
+    cur_s = plan.shard_state(cur)
+    ga_s = plan.shard_grid(ga)
+    assert adi3d._nl_stacked_possible(cur, ga, "fused_nl", 2, merge_ok,
+                                      plan)
+
+    def step(c):
+        new, _ = adi3d.adi_timestep_3d(c, c, ga_s, dt, ng, 2, pa,
+                                       backend="fused_nl",
+                                       compute_error=False,
+                                       merge_ok=merge_ok, plan=plan)
+        return new
+
+    hlo = jax.jit(step).lower(cur_s).compile().as_text()
+    n_a2a = hlo.count(" all-to-all")
+    n_ag = hlo.count(" all-gather")
+    # two reshard POINTS per global iteration (entering L_X: tY/half/op,
+    # leaving it: temp/nxt back to L_Z) move <=5 stacked operands, plus
+    # the 3 loop-invariant X-direction masks (CSE'd once) and the final
+    # canonical-split constraint.  Measured on this fixture at ng=2:
+    # 9 all-to-alls vs 27 for the per-direction sharded path (the same
+    # 40 halo collective-permutes each) — the structural 3x cut this
+    # test pins.
+    assert 1 <= n_a2a <= 5 * ng + 4, n_a2a
+    assert n_ag == 0, "unexpected all-gather in the stacked sharded step"
+
+
 def test_sharded_nl_odd_tail_matches_unsharded():
     """Sharded fused_nl at num_local=3 — the mixed dispatch: Y/Z run one
     pair + a stream-kernel tail per shard, X falls back to the
