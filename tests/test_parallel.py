@@ -1,5 +1,7 @@
 """Sharded 3D step on the virtual 8-device CPU mesh (MGPU_EMU analogue) and
 graft entry points."""
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -341,7 +343,7 @@ def test_sharded_nl_pair_matches_unsharded():
                                    rtol=0, atol=5e-7)
 
 
-def test_sharded_nl_stacked_carry_bitwise():
+def _sharded_stacked_bitwise(backend, nl):
     """The sharded stacked-carry step (adi3d.NL_STACKED with a plan: the
     whole num_global loop on 4-var stacks in kernel layouts, one uniform
     1-plane j-halo shard_map wrapper for all three directions, grid Y
@@ -375,12 +377,12 @@ def test_sharded_nl_stacked_carry_bitwise():
             adi3d.NL_STACKED = flag
             adi3d.adi_timestep_3d.clear_cache()
             if flag:
-                assert adi3d._nl_stacked_possible(cur, ga, "fused_nl", 2,
+                assert adi3d._nl_stacked_possible(cur, ga, backend, nl,
                                                   merge_ok, plan)
             sh = cur_s
             for _ in range(2):
-                sh, _ = adi3d.adi_timestep_3d(sh, sh, ga_s, dt, 2, 2, pa,
-                                              backend="fused_nl",
+                sh, _ = adi3d.adi_timestep_3d(sh, sh, ga_s, dt, 2, nl, pa,
+                                              backend=backend,
                                               compute_error=False,
                                               merge_ok=merge_ok, plan=plan)
             outs[flag] = sh
@@ -389,6 +391,25 @@ def test_sharded_nl_stacked_carry_bitwise():
         adi3d.adi_timestep_3d.clear_cache()
     for a, b in zip(outs[True], outs[False]):
         assert (np.asarray(a) == np.asarray(b)).all()
+
+
+def test_sharded_nl_stacked_carry_bitwise():
+    """See _sharded_stacked_bitwise — the default-tier fused_nl nl=2
+    case; the gated tier widens to nl=4 / bf16 / pcr."""
+    _sharded_stacked_bitwise("fused_nl", 2)
+
+
+@pytest.mark.skipif(os.environ.get("CMCFS_LONG") != "1",
+                    reason="gated long tier (CMCFS_LONG=1)")
+@pytest.mark.parametrize("backend,nl", [("fused_nl", 4),
+                                        ("fused_bf16", 2),
+                                        ("fused_pcr", 2)])
+def test_sharded_nl_stacked_carry_bitwise_long(backend, nl):
+    """Gated-tier widening of test_sharded_nl_stacked_carry_bitwise: the
+    chained-pair seam (nl=4 — halos re-exchanged per pair), the bf16
+    staging dtypes, and the pcr 4-slot staging, all under the sharded
+    stacked step."""
+    _sharded_stacked_bitwise(backend, nl)
 
 
 def test_sharded_nl_stacked_collective_budget():
