@@ -614,6 +614,27 @@ def _nl_stacked_possible(cur: State3D, ga: GridArrays3D, backend: str,
                for ax in range(3))
 
 
+def _nl_targeted_vmem_ok(shape3, pcr: bool, bf16: bool) -> bool:
+    """True when every targeted-layout final-pair kernel of the stacked
+    step fits the Mosaic VMEM grant cap.  The pcr x targeted combination
+    exceeds it at 256^3 (~144 MB request vs the 110 MB cap; 127 MB bf16)
+    — degrading to the plain stacked step trades the saved relayouts for
+    a run that compiles (NOTES_NEXT 0b)."""
+    from ..ops.pallas_sweep_nl import nl_vmem_request
+    nx, ny, nz = shape3
+    # (operand shape, out_perms, tn_perm) of each direction's final pair
+    # kernel in _nl_stacked_step_targeted
+    calls = (((nz, ny, nx), ((1, 2, 0), (2, 1, 0)), (1, 2, 0)),   # Z
+             ((ny, nx, nz), ((0, 1, 2), (1, 0, 2)), (1, 0, 2)),   # Y
+             ((nx, ny, nz), ((2, 1, 0),), (2, 1, 0)))             # X
+    for s, op, tp in calls:
+        req, cap = nl_vmem_request(s, 0, pcr=pcr, bf16=bf16,
+                                   out_perms=op, tn_perm=tp)
+        if req > cap:
+            return False
+    return True
+
+
 def _nl_stacked_step_targeted(cur: State3D, nxt: State3D, ga: GridArrays3D,
                               dt, num_global: int, num_local: int,
                               pa: ParamsArgs3D, exact: bool, bf16: bool,
@@ -738,8 +759,15 @@ def _nl_stacked_step(cur: State3D, nxt: State3D, ga: GridArrays3D, dt,
     kernel operands are bit-identical to the per-direction sharded
     path, so results stay bitwise equal (test_parallel)."""
     if NL_TARGETED and plan is None:
-        return _nl_stacked_step_targeted(cur, nxt, ga, dt, num_global,
-                                         num_local, pa, exact, bf16, pcr)
+        if _nl_targeted_vmem_ok(cur.u.shape, pcr, bf16):
+            return _nl_stacked_step_targeted(cur, nxt, ga, dt, num_global,
+                                             num_local, pa, exact, bf16, pcr)
+        import warnings
+        warnings.warn(
+            "NL_TARGETED degraded to the plain stacked step: the targeted "
+            f"kernels' VMEM request exceeds the grant cap at this grid "
+            f"({cur.u.shape}, pcr={pcr}, bf16={bf16}) — see "
+            "pallas_sweep_nl.nl_vmem_request", stacklevel=2)
     from ..ops.pallas_sweep_nl import fused_sweep_nl
     f32 = jnp.float32
 

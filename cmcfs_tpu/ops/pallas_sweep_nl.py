@@ -70,6 +70,61 @@ from .sweep_common import (LANES, S_TILE, build_a, build_abc,
 MAX_SWEEP = 256
 N_MRG = 4     # row-chunk count for vectorized slab passes (VMEM stack cap)
 IDP = (0, 1, 2)   # identity output layout
+VMEM_CAP = 110 * 1024 * 1024   # Mosaic grant cap observed on this silicon
+
+
+def _vmem_need_bytes(slab, c_blocks, pcr, bf16, n_stage):
+    """Scratch-VMEM estimate (bytes) for one fused_sweep_nl invocation —
+    the slab-count accounting behind vmem_limit_bytes, factored out so
+    nl_vmem_request can pre-check gated mode combinations."""
+    import math
+    S_A = 2 * c_blocks + 1
+    S_B = c_blocks + 1
+    S_P = c_blocks + 2
+    S_R = c_blocks + 2
+    S_AV = 2 * c_blocks + 2
+    slab_bytes = math.prod(slab) * 4
+    # adv input ring S_AV + T parity pair 2, op|aux bufs, rings
+    # S_A + 3*S_B(tnB) + 4*S_B(out1) + S_P(pk) + rhs ring, out/tn bufs 4,
+    # cp/rbuf 2, diss scratch 7 (f32-slab equivalents; bf16 halves rhs/op
+    # + adds the downcast buffers and the upcast stage)
+    pay_f = 0.5 if bf16 else 1.0
+    if pcr:
+        # parity-pair input groups (op 2x4, aux 2x2), 4-slot out/tn, plus
+        # ~16 slab-sized live values inside the unrolled PCR levels
+        scratch_slabs = (S_AV + 2 + 8 * pay_f + 4 + S_A + 7 * S_B + S_P
+                         + 4 * S_R * pay_f + 8 + 2 + 7 + 16
+                         + (8 * 0.5 + 1 if bf16 else 0))
+    else:
+        scratch_slabs = (S_AV + 2 + 2 * (1 + pay_f) + S_A + 7 * S_B + S_P
+                         + 4 * S_R * pay_f + 4 + 2 + 7
+                         + (2 * 1.0 + 1 if bf16 else 0))
+    n_ot = 4 if pcr else 2
+    return (int(scratch_slabs * slab_bytes)
+            + int(n_stage * n_ot * pay_f * slab_bytes))
+
+
+def nl_vmem_request(shape3, sweep_axis, pcr=False, bf16=False,
+                    out_perms=None, tn_perm=None):
+    """(request_bytes, cap_bytes): the Mosaic VMEM grant a fused_sweep_nl
+    call on an (A, B, C) grid would ask for vs the grant cap.
+
+    Mirrors the kernel's padding/blocking; request = need * 1.3 (margin
+    for Mosaic's own temporaries).  request > cap means the kernel risks a
+    compile-time VMEM-allocation failure — models/adi3d uses this to
+    degrade the targeted-layout mode when combined with pcr at large
+    grids (the ~111-slab vs 110 MB hazard at 256^3, NOTES_NEXT 0b)."""
+    A, B, C = shape3
+    Cp = _ceil_to(C, LANES)
+    Ap = _ceil_to(A, S_TILE)
+    Bp = _ceil_to(B, S_TILE)
+    slab = (Ap, S_TILE, LANES) if sweep_axis == 0 else (S_TILE, Bp, LANES)
+    c_blocks = Cp // LANES
+    ops_ = tuple(tuple(p) for p in out_perms) if out_perms else (IDP,)
+    tnp_ = tuple(tn_perm) if tn_perm else IDP
+    n_stage = sum(1 for p in ops_ if p != IDP) + (1 if tnp_ != IDP else 0)
+    need = _vmem_need_bytes(slab, c_blocks, pcr, bf16, n_stage)
+    return int(need * 1.3), VMEM_CAP
 
 
 def _make_kernel(n, sweep_axis, axis_var, exact, c_blocks, n_blocks,
@@ -930,25 +985,6 @@ def fused_sweep_nl(temp4, cls, bcv, bct, rhs4, out_prev4, scal,
     bf16 = rp4.dtype == jnp.bfloat16
     pay = rp4.dtype
 
-    import math
-    slab_bytes = math.prod(slab) * 4
-    # adv input ring S_AV + T parity pair 2, op|aux bufs, rings
-    # S_A + 3*S_B(tnB) + 4*S_B(out1) + S_P(pk) + rhs ring, out/tn bufs 4,
-    # cp/rbuf 2, diss scratch 7 (f32-slab equivalents; bf16 halves rhs/op
-    # + adds the downcast buffers and the upcast stage)
-    pay_f = 0.5 if bf16 else 1.0
-    if pcr:
-        # parity-pair input groups (op 2x4, aux 2x2), 4-slot out/tn, plus
-        # ~16 slab-sized live values inside the unrolled PCR levels
-        scratch_slabs = (S_AV + 2 + 8 * pay_f + 4 + S_A + 7 * S_B + S_P
-                         + 4 * S_R * pay_f + 8 + 2 + 7 + 16
-                         + (8 * 0.5 + 1 if bf16 else 0))
-    else:
-        scratch_slabs = (S_AV + 2 + 2 * (1 + pay_f) + S_A + 7 * S_B + S_P
-                         + 4 * S_R * pay_f + 4 + 2 + 7
-                         + (2 * 1.0 + 1 if bf16 else 0))
-    vmem_need = int(scratch_slabs * slab_bytes)
-
     n_ot = 4 if pcr else 2            # out/tn work-buffer slots
     op_shape = ((2, 4) if pcr else (2,)) + slab
     aux_shape = ((2, 2) if pcr else (2,)) + slab
@@ -971,7 +1007,7 @@ def fused_sweep_nl(temp4, cls, bcv, bct, rhs4, out_prev4, scal,
         stage_scratch.append(pltpu.VMEM((n_ot,) + pshape(tnp_), pay))
         n_stage += 1
 
-    vmem_need += int(n_stage * n_ot * pay_f * slab_bytes)
+    vmem_need = _vmem_need_bytes(slab, c_blocks, pcr, bf16, n_stage)
 
     def oshape(p):
         return (4,) + tuple((Ap, Bp, Cp)[k] for k in p)
@@ -1021,7 +1057,7 @@ def fused_sweep_nl(temp4, cls, bcv, bct, rhs4, out_prev4, scal,
         ],
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
-            vmem_limit_bytes=min(110 * 1024 * 1024,
+            vmem_limit_bytes=min(VMEM_CAP,
                                  max(48 * 1024 * 1024,
                                      int(vmem_need * 1.3)))),
         interpret=(jax.default_backend() != "tpu"),
