@@ -31,14 +31,35 @@ class GridArrays3D(NamedTuple):
     take_b: tuple
 
 
-def grid_arrays(grid: Grid3D) -> GridArrays3D:
+def grid_arrays(grid: Grid3D, elide_inert_duals: bool = True) -> GridArrays3D:
     t = grid.types
+    bcv = np.asarray(grid.bc_vel)
+    bct = np.asarray(grid.bc_temp)
     cls_a, cls_b, take_b = [], [], []
     for ax in range(3):
         lc = masks.line_class_3d(t, axis=ax)
+        cb, tb = lc.cls_b, lc.take_b
+        if cb is not None and elide_inert_duals:
+            # cls_a and cls_b differ ONLY at dual cells (BC1 vs BC0 role,
+            # ops/masks.py).  For a Dirichlet (non-FREE) boundary BOTH
+            # roles generate the identical identity row (a=0, b=1, c=0,
+            # d=value — ops/sweep_common.build_abc / adi3d._bc_rows_3d),
+            # so when every dual cell is Dirichlet for velocity AND
+            # temperature, pass B's solve is bitwise pass A's and the
+            # take_b stitch is a no-op: drop the pass entirely.  This is
+            # the common case — internal walls are NOSLIP (e.g. the
+            # box_pipe bench case's Y-direction duals) — and it keeps the
+            # direction on the fused num_local-pair hot path.  The
+            # reference's "start-role value wins" write order
+            # (Grid3D.cpp:47-127) is preserved trivially: both roles
+            # write the same value.
+            dual = lc.cls_a != cb
+            if ((bcv[dual] != BCtype.FREE).all()
+                    and (bct[dual] != BCtype.FREE).all()):
+                cb = tb = None
         cls_a.append(jnp.asarray(lc.cls_a))
-        cls_b.append(None if lc.cls_b is None else jnp.asarray(lc.cls_b))
-        take_b.append(None if lc.take_b is None else jnp.asarray(lc.take_b))
+        cls_b.append(None if cb is None else jnp.asarray(cb))
+        take_b.append(None if tb is None else jnp.asarray(tb))
     return GridArrays3D(
         types=jnp.asarray(t),
         bc_vel=jnp.asarray(grid.bc_vel),

@@ -1,0 +1,135 @@
+"""Dual-endpoint (MAX_SEGS_PER_ROW=2) coverage.
+
+The reference solves up to two segments per row in one kernel launch
+(Grid3D.h:43, segment enumeration Grid3D.cpp:47-127, one-thread-per-
+segment kernel AdiSolver3D.cu:376-404).  Our dense formulation resolves
+the shared endpoint with a two-pass cls_a/cls_b stitch (ops/masks.py) —
+EXCEPT when every dual cell is Dirichlet for both BCs, where the BC0 and
+BC1 roles generate the identical identity row and grid_arrays elides the
+pass-B solve entirely (models/common3d.py).  These tests pin both halves:
+the elision must be bitwise-neutral, and genuinely FREE duals must keep
+the stitch.
+"""
+import numpy as np
+import jax.numpy as jnp
+
+from cmcfs_tpu.core.params import FluidParams
+from cmcfs_tpu.core.types import NodeType, BCtype
+from cmcfs_tpu.geom.synthetic import lid_cavity_3d
+from cmcfs_tpu.models import adi3d
+from cmcfs_tpu.models.common3d import grid_arrays, init_state
+
+
+def _noslip_baffled(nx, ny, nz):
+    """All-Dirichlet baffle: X-direction duals whose BC0/BC1 rows are
+    identical — the inert case grid_arrays elides."""
+    grid = lid_cavity_3d(nx, ny, nz)
+    mid = nx // 2
+    grid.types[mid, 2:-2, 2:-2] = NodeType.BOUND
+    grid.types[mid, ny // 2 - 1:ny // 2 + 1, 2:-2] = NodeType.IN
+    return grid
+
+
+def _free_baffled(nx, ny, nz):
+    """Baffle with FREE temperature BC: non-inert duals, stitch required."""
+    grid = _noslip_baffled(nx, ny, nz)
+    mid = nx // 2
+    baffle = np.zeros(grid.types.shape, dtype=bool)
+    baffle[mid, 2:-2, 2:-2] = True
+    baffle &= np.asarray(grid.types) == NodeType.BOUND
+    grid.bc_temp[baffle] = BCtype.FREE
+    return grid
+
+
+def _pa(grid):
+    p = FluidParams.normalized(200.0, 0.72, 1.4)
+    return adi3d.ParamsArgs3D(*[jnp.float32(x) for x in
+                                (p.v_T, p.v_vis, p.t_vis, p.t_phi,
+                                 grid.dx, grid.dy, grid.dz)])
+
+
+def test_inert_dual_elision():
+    """All-Dirichlet duals are elided; FREE duals are kept."""
+    g_in = _noslip_baffled(16, 12, 12)
+    ga = grid_arrays(g_in)
+    assert ga.cls_b[0] is None and ga.take_b[0] is None
+    ga_full = grid_arrays(g_in, elide_inert_duals=False)
+    assert ga_full.cls_b[0] is not None
+
+    g_free = _free_baffled(16, 12, 12)
+    gaf = grid_arrays(g_free)
+    assert gaf.cls_b[0] is not None and gaf.take_b[0] is not None
+
+
+def test_inert_dual_elision_bitwise_scan():
+    """Eliding the inert pass-B stitch changes nothing, bitwise, on the
+    exact-order scan backend over a multi-step trajectory."""
+    grid = _noslip_baffled(18, 13, 14)
+    ga = grid_arrays(grid)
+    ga_full = grid_arrays(grid, elide_inert_duals=False)
+    cur = init_state(grid)
+    pa = _pa(grid)
+    dt = jnp.float32(0.01)
+    a, b = cur, cur
+    for _ in range(3):
+        a, ea = adi3d.adi_timestep_3d(a, a, ga, dt, 2, 2, pa,
+                                      backend="scan", compute_error=True)
+        b, eb = adi3d.adi_timestep_3d(b, b, ga_full, dt, 2, 2, pa,
+                                      backend="scan", compute_error=True)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    assert float(ea) == float(eb)
+
+
+def test_inert_dual_elision_bitwise_fused():
+    """Same neutrality on the fused kernel path (which the elision newly
+    enables for the whole direction)."""
+    grid = _noslip_baffled(16, 12, 12)
+    ga = grid_arrays(grid)
+    ga_full = grid_arrays(grid, elide_inert_duals=False)
+    assert ga.cls_b[0] is None and ga_full.cls_b[0] is not None
+    cur = init_state(grid)
+    pa = _pa(grid)
+    dt = jnp.float32(0.01)
+    a, _ = adi3d.adi_timestep_3d(cur, cur, ga, dt, 1, 2, pa,
+                                 backend="fused_dma", compute_error=False)
+    b, _ = adi3d.adi_timestep_3d(cur, cur, ga_full, dt, 1, 2, pa,
+                                 backend="fused_dma", compute_error=False)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_bench_case_duals_inert_and_stacked_engages():
+    """The driver bench case's Y-direction duals are all NOSLIP: after the
+    elision the whole grid is dual-free and the stacked-carry pair-kernel
+    step engages (the round-3 verdict's 2.5x finding — the bench case ran
+    the Y fallback because _nl_stacked_possible was False)."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from scripts.gen_box_case import gen
+    from cmcfs_tpu.core.config import Config
+    from cmcfs_tpu.cli3d import build_grid
+    from cmcfs_tpu.ops.masks import INTERIOR
+
+    case_dir = os.path.join(os.path.dirname(__file__), "..", "out",
+                            "benchcase_test")
+    # dx=0.01636 -> 65^3: same geometry class as the 256^3 driver bench
+    # (dual Y lines, merge_ok all-True); odd sizes like 33^3 land runs on
+    # the domain edge and lose merge_ok, which is a different gate
+    data, cfgp = gen(case_dir, dx=0.01636, time_steps=4,
+                     num_global=4, num_local=2)
+    cfg = Config.load(cfgp)
+    grid = build_grid(cfg, data)
+    ga = grid_arrays(grid)
+    # the raw geometry HAS Y duals; they are all-Dirichlet, hence elided
+    ga_full = grid_arrays(grid, elide_inert_duals=False)
+    assert ga_full.cls_b[1] is not None
+    assert all(c is None for c in ga.cls_b)
+
+    is_in = np.asarray(grid.types) == NodeType.IN
+    merge_ok = tuple(bool(((np.asarray(ga.cls_a[ax]) == INTERIOR)
+                           == is_in).all()) for ax in range(3))
+    cur = init_state(grid)
+    assert adi3d._nl_stacked_possible(cur, ga, "fused_nl", 2, merge_ok,
+                                      None)

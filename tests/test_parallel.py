@@ -53,18 +53,27 @@ def test_sharded_matches_single_device():
     assert abs(float(err) - float(err_ref)) < 1e-9
 
 
-def _baffled_cavity(nx, ny, nz):
+def _baffled_cavity(nx, ny, nz, free_T: bool = True):
     """Lid cavity with a one-cell BOUND baffle plane at mid-X pierced by a
     hole: X lines crossing the baffle get dual endpoints (two fluid runs
     sharing the separating cell), exercising the cls_b two-pass stitch
-    (reference MAX_SEGS_PER_ROW, Grid3D.h:43)."""
+    (reference MAX_SEGS_PER_ROW, Grid3D.h:43).
+
+    ``free_T``: give the baffle cells a FREE temperature BC so the duals
+    are genuinely non-inert — all-Dirichlet duals produce identical BC0/
+    BC1 rows and grid_arrays elides the pass-B stitch entirely
+    (models/common3d.py), which would leave the dual path untested."""
     from cmcfs_tpu.geom.synthetic import lid_cavity_3d
-    from cmcfs_tpu.core.types import NodeType
+    from cmcfs_tpu.core.types import NodeType, BCtype
 
     grid = lid_cavity_3d(nx, ny, nz)
     mid = nx // 2
-    grid.types[mid, 2:-2, 2:-2] = NodeType.BOUND
+    baffle = np.zeros(grid.types.shape, dtype=bool)
+    baffle[mid, 2:-2, 2:-2] = True
+    grid.types[baffle] = NodeType.BOUND
     grid.types[mid, ny // 2 - 1:ny // 2 + 1, 2:-2] = NodeType.IN  # the hole
+    if free_T:
+        grid.bc_temp[baffle] = BCtype.FREE
     return grid
 
 
