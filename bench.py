@@ -97,6 +97,11 @@ def run_bench(size_dx: float = 0.00409, steps: int = 10, warmup: int = 2,
                                grid.dx, grid.dy, grid.dz)])
     dt = jnp.float32(grid.cycle_len / cfg.time_steps)
 
+    import sys
+    dispatch = adi3d.dispatch_report((grid.dimx, grid.dimy, grid.dimz), ga,
+                                     backend, num_local, merge_ok)
+    print(f"dispatch: {dispatch}", file=sys.stderr, flush=True)
+
     def step(state, nxt):
         new, _ = adi3d.adi_timestep_3d(state, nxt, ga, dt, num_global,
                                        num_local, pa, backend=backend,

@@ -145,6 +145,13 @@ def run_case(input_path: str, output_base: str, config_path: str,
         import jax.numpy as jnp
         float(jnp.sum(solver.cur.u))
 
+    if not quiet and _is_main_process() and solver.name == "ADI":
+        # execution-path visibility, the reference's OutputSegmentsInfo
+        # analogue (AdiSolver3D.cpp:270-284)
+        rep = solver.dispatch_report(cfg.num_local)
+        print(f"dispatch: backend={rep['backend']} dirs={rep['dirs']} "
+              f"stacked={rep['stacked']} targeted={rep['targeted']}")
+
     prof = Profiler(sync_fetch=_sync_fetch)
     timer = CpuTimer()
     timer.start()

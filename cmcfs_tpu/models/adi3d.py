@@ -440,6 +440,33 @@ def _nl_pair_active(axis: int, n_sweep: int, backend: str, merge_ok_ax: bool,
     return merge_ok_ax and dual_free and n_sweep <= MAX_SWEEP
 
 
+def _dir_path(axis: int, n_sweep: int, backend: str, merge_ok_ax: bool,
+              dual_free: bool, num_local: int, plan) -> str:
+    """Which implementation this direction's local iterations take:
+      "pair"        — num_local-pair kernel only (even num_local),
+      "pair+stream" — pair kernels + one trailing stream iteration,
+      "stream"      — per-iteration streamed full-fusion kernel,
+      "fallback"    — per-iteration XLA row build + fused/two-pass solve
+                      (duals, long lines, non-fused backends, sharded X
+                      without an even-num_local pair).
+    The single source of truth for _solve_direction_3d's dispatch AND
+    dispatch_report — they cannot diverge."""
+    if backend not in ("fused_full", "fused_bf16", "fused_nl", "fused_pcr",
+                       "fused_pcr_bf16"):
+        return "fallback"
+    from ..ops.pallas_sweep_stream import MAX_SWEEP as _SMAX
+    if n_sweep > _SMAX:
+        return "fallback"
+    nl_here = _nl_pair_active(axis, n_sweep, backend, merge_ok_ax,
+                              dual_free, num_local, plan)
+    if not (merge_ok_ax and dual_free
+            and (plan is None or axis != 0 or nl_here)):
+        return "fallback"
+    if nl_here:
+        return "pair" if num_local % 2 == 0 else "pair+stream"
+    return "stream"
+
+
 def _solve_nl_fused(axis: int, rhs: State3D, temp: State3D, out: State3D,
                     ga: GridArrays3D, dt, pa: ParamsArgs3D, exact: bool,
                     gmerge: bool = False, bf16: bool = False,
@@ -590,14 +617,17 @@ def _solve_nl_fused(axis: int, rhs: State3D, temp: State3D, out: State3D,
             State3D(o4[0], o4[1], o4[2], o4[3]))
 
 
-def _nl_stacked_possible(cur: State3D, ga: GridArrays3D, backend: str,
+def _nl_stacked_possible(shape3: tuple, dual_free3: tuple, backend: str,
                          num_local: int, merge_ok: tuple, plan) -> bool:
     """Static predicate for the stacked-carry step (NL_STACKED): every
     direction must run the num_local-pair kernel in xmode, with an even
     num_local so the global merge folds in-kernel.  Sharded runs
     additionally need a 1-D plan without the Z-blocked wavefront and a
     grid-X extent divisible by the shard count (every kernel layout puts
-    grid X on the j-dim for Y/Z, so shard_map splits it exactly)."""
+    grid X on the j-dim for Y/Z, so shard_map splits it exactly).
+
+    ``shape3``: the (possibly step-padded) grid shape; ``dual_free3``:
+    per-axis ``ga.cls_b[ax] is None``."""
     if (not NL_STACKED or not NL_XMODE
             or num_local < 2 or num_local % 2 != 0):
         return False
@@ -607,11 +637,75 @@ def _nl_stacked_possible(cur: State3D, ga: GridArrays3D, backend: str,
     if plan is not None:
         if getattr(plan, "nblockz", 0) > 1:
             return False
-        if cur.u.shape[0] % plan.mesh.shape[plan.axis] != 0:
+        if shape3[0] % plan.mesh.shape[plan.axis] != 0:
             return False
-    return all(_nl_pair_active(ax, cur.u.shape[ax], backend, merge_ok[ax],
-                               ga.cls_b[ax] is None, num_local, plan)
+    return all(_nl_pair_active(ax, shape3[ax], backend, merge_ok[ax],
+                               dual_free3[ax], num_local, plan)
                for ax in range(3))
+
+
+def _step_pad(shape3: tuple, backend: str, plan):
+    """adi_timestep_3d's step-level tile padding decision: the fused
+    kernels need (x, y, z) padded to (8, 128, 128) multiples; padding once
+    per step lets XLA drop every per-call pad/crop copy.  Returns the
+    (px, py, pz) pad amounts or None.  Shared with dispatch_report."""
+    if plan is not None or backend not in ("fused", "fused_dma",
+                                           "fused_full", "fused_bf16",
+                                           "fused_nl", "fused_pcr",
+                                           "fused_pcr_bf16"):
+        return None
+    nx, ny, nz = shape3
+    tgt = (-nx % 8, -ny % 128, -nz % 128)
+    grow = ((nx + tgt[0]) * (ny + tgt[1]) * (nz + tgt[2])) / max(
+        nx * ny * nz, 1)
+    return tgt if any(tgt) and grow <= 1.25 else None
+
+
+def dispatch_report(shape3: tuple, ga: GridArrays3D, backend: str,
+                    num_local: int, merge_ok: tuple = (False, False, False),
+                    plan=None) -> dict:
+    """Static dispatch visibility: exactly which execution paths
+    adi_timestep_3d takes for these (static) arguments.
+
+    The reference prints its per-direction segment decisions
+    (OutputSegmentsInfo, AdiSolver3D.cpp:270-284); our dense dispatch was
+    silent — and two round-3 silicon A/Bs measured fallback-vs-fallback
+    without noticing.  Probes and the CLI print this; A/B harnesses assert
+    the arm under test actually engaged (scripts/_nl_ab.py).
+
+    Returns a dict:
+      backend  — after alias/auto resolution (mirrors adi_timestep_3d),
+      pad      — step-level tile padding applied, or None,
+      stacked  — the whole-step stacked-carry fast path engages,
+      targeted — the stacked step uses in-kernel layout-targeted writes,
+      dirs     — {"X"|"Y"|"Z": "pair"|"pair+stream"|"stream"|"fallback"},
+      xmode / pcr / bf16 — mode flags in effect.
+    Computed with the SAME predicates the dispatch uses (_dir_path,
+    _nl_stacked_possible, _nl_targeted_vmem_ok, _step_pad): report and
+    dispatch cannot diverge."""
+    if backend == "fused_merge":
+        backend = "fused_full"
+    if backend == "auto" and plan is not None:
+        backend = ("fused_nl" if jax.default_backend() == "tpu"
+                   else "fused")
+    elif backend == "pallas" and plan is not None:
+        backend = "scan"
+    pad = _step_pad(tuple(shape3), backend, plan)
+    pshape = (tuple(s + p for s, p in zip(shape3, pad)) if pad
+              else tuple(shape3))
+    dual_free = tuple(ga.cls_b[ax] is None for ax in range(3))
+    pcr = backend in ("fused_pcr", "fused_pcr_bf16")
+    bf16 = backend in ("fused_bf16", "fused_pcr_bf16")
+    stacked = _nl_stacked_possible(pshape, dual_free, backend, num_local,
+                                   merge_ok, plan)
+    targeted = bool(stacked and NL_TARGETED and plan is None
+                    and _nl_targeted_vmem_ok(pshape, pcr, bf16))
+    dirs = {name: _dir_path(ax, pshape[ax], backend, merge_ok[ax],
+                            dual_free[ax], num_local, plan)
+            for ax, name in ((0, "X"), (1, "Y"), (2, "Z"))}
+    return dict(backend=backend, pad=pad, stacked=stacked,
+                targeted=targeted, xmode=NL_XMODE, pcr=pcr, bf16=bf16,
+                dirs=dirs)
 
 
 def _nl_targeted_vmem_ok(shape3, pcr: bool, bf16: bool) -> bool:
@@ -908,18 +1002,10 @@ def _solve_direction_3d(axis: int, rhs: State3D, temp: State3D, out_layer: State
                         merge_ok: bool = False, gmerge: bool = False):
     """Reference SolveDirection (AdiSolver3D.cpp:564-666), CPU semantics."""
     n_sweep = rhs.u.shape[axis]
-    if backend in ("fused_full", "fused_bf16", "fused_nl", "fused_pcr",
-                   "fused_pcr_bf16"):
-        from ..ops.pallas_sweep_stream import MAX_SWEEP
-        ok_size = n_sweep <= MAX_SWEEP
-    else:
-        ok_size = False
-    nl_here = _nl_pair_active(axis, n_sweep, backend, merge_ok,
-                              ga.cls_b[axis] is None, num_local, plan)
-    if (backend in ("fused_full", "fused_bf16", "fused_nl", "fused_pcr",
-                    "fused_pcr_bf16")
-            and merge_ok and ga.cls_b[axis] is None and ok_size
-            and (plan is None or axis != 0 or nl_here)):
+    path = _dir_path(axis, n_sweep, backend, merge_ok,
+                     ga.cls_b[axis] is None, num_local, plan)
+    nl_here = path in ("pair", "pair+stream")
+    if path != "fallback":
         # under a mesh the Y/Z directions run per shard (nl-pair kernel
         # with halo pre-exchange, or the stream kernel); the X direction
         # runs the pair kernel on all_to_all-resharded lines when
@@ -1083,16 +1169,7 @@ def adi_timestep_3d(cur: State3D, nxt_prev: State3D, ga: GridArrays3D, dt,
     # (8, 128, 128) multiples; padding once per step (instead of per kernel
     # call) lets XLA drop every per-call pad/crop copy.  Identity rows make
     # padded cells inert; types pad with OUT.
-    pad = None
-    if plan is None and backend in ("fused", "fused_dma", "fused_full",
-                                    "fused_bf16", "fused_nl", "fused_pcr",
-                                    "fused_pcr_bf16"):
-        nx, ny, nz = cur.u.shape
-        tgt = (-nx % 8, -ny % 128, -nz % 128)
-        grow = ((nx + tgt[0]) * (ny + tgt[1]) * (nz + tgt[2])) / max(
-            nx * ny * nz, 1)
-        if any(tgt) and grow <= 1.25:
-            pad = tgt
+    pad = _step_pad(cur.u.shape, backend, plan)
     if pad is not None:
         p3 = tuple((0, p) for p in pad)
 
@@ -1116,7 +1193,9 @@ def adi_timestep_3d(cur: State3D, nxt_prev: State3D, ga: GridArrays3D, dt,
 
     nxt = State3D(*(jnp.where(is_bv, c, n) for c, n in zip(cur, nxt_prev)))
     temp = cur
-    if _nl_stacked_possible(cur, ga, backend, num_local, merge_ok, plan):
+    if _nl_stacked_possible(cur.u.shape,
+                            tuple(ga.cls_b[ax] is None for ax in range(3)),
+                            backend, num_local, merge_ok, plan):
         # stacked-carry fast path: the whole num_global loop runs on 4-var
         # stacks in kernel layouts (see _nl_stacked_step); bitwise equal
         nxt4 = _nl_stacked_step(cur, nxt, ga, dt, num_global, num_local,

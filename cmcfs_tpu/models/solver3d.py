@@ -112,6 +112,15 @@ class AdiSolver3D:
     def refresh_grid(self) -> None:
         self.ga = grid_arrays(self.grid)
 
+    def dispatch_report(self, num_local: int) -> dict:
+        """Static execution-path visibility (the reference's
+        OutputSegmentsInfo analogue, AdiSolver3D.cpp:270-284): which kernel
+        path each direction takes, whether the stacked-carry step engages —
+        see adi3d.dispatch_report."""
+        return adi3d.dispatch_report(
+            tuple(self.cur.u.shape), self.ga, self.backend, num_local,
+            getattr(self, "merge_ok", (False, False, False)), self.plan)
+
     def update_boundaries(self) -> None:
         # reference also re-seeds next's BOUND/VALVE cells (Solver3D.cpp:28-34)
         self.cur = update_boundaries(self.cur, self.ga)

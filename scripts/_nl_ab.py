@@ -75,6 +75,23 @@ def run_flag_ab(flag_attr: str, modes, description: str):
                                        merge_ok=merge_ok)
         return new, state
 
+    # Engagement telemetry (round-3 verdict: two silicon A/Bs silently
+    # measured fallback-vs-fallback): print each arm's static dispatch and
+    # REFUSE to run when the two arms compile to the same program.
+    reports = {}
+    for name, flag in modes:
+        saved = getattr(adi3d, flag_attr)
+        setattr(adi3d, flag_attr, flag)
+        reports[name] = adi3d.dispatch_report(cur.u.shape, ga, backend,
+                                              args.nl, merge_ok)
+        setattr(adi3d, flag_attr, saved)
+        print(f"dispatch[{name}]: {reports[name]}")
+    if reports[modes[0][0]] == reports[modes[1][0]]:
+        raise SystemExit(
+            f"A/B arms dispatch identically on this case — {flag_attr} "
+            "does not engage here; pick a case where it does "
+            "(see dispatch lines above)")
+
     sums = {}
     results = {name: [] for name, _ in modes}
     for rep in range(args.reps):

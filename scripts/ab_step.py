@@ -63,6 +63,12 @@ def main():
                                grid.dx, grid.dy, grid.dz)])
     dt = jnp.float32(grid.cycle_len / cfg.time_steps)
 
+    # engagement telemetry: print each backend's static dispatch so the
+    # log records which paths actually ran (round-3 verdict item 3)
+    for be in backends:
+        print(f"dispatch[{be}]: "
+              f"{adi3d.dispatch_report(cur.u.shape, ga, be, args.nl, merge_ok)}")
+
     def step(state, nxt, be):
         new, _ = adi3d.adi_timestep_3d(state, nxt, ga, dt, args.ng, args.nl,
                                        pa, backend=be, exact=False,

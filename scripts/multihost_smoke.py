@@ -66,8 +66,8 @@ def main():
         # the nl smoke must exercise the SHARDED STACKED-CARRY step (the
         # production multi-chip path): whole-step kernel-layout stacks,
         # uniform j-halo shard_map wrapper, cross-process all_to_alls
-        assert adi3d._nl_stacked_possible(cur, ga, "fused_nl", num_local,
-                                          merge_ok, plan), \
+        assert adi3d.dispatch_report(cur.u.shape, ga, "fused_nl",
+                                     num_local, merge_ok, plan)["stacked"], \
             "nl smoke fixture no longer routes through the stacked step"
     cur = plan.shard_state(cur)
     ga = plan.shard_grid(ga)

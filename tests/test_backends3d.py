@@ -227,8 +227,8 @@ def test_nl_stacked_carry_bitwise():
             outs[flag], _ = adi3d.adi_timestep_3d(
                 cur, cur, ga, dt, 2, 2, pa, backend="fused_nl", exact=True,
                 compute_error=False, merge_ok=merge_ok)
-        assert adi3d._nl_stacked_possible(cur, ga, "fused_nl", 2, merge_ok,
-                                          None)
+        assert adi3d.dispatch_report(cur.u.shape, ga, "fused_nl", 2,
+                                     merge_ok)["stacked"]
         for r, o in zip(outs[False], outs[True]):
             assert (np.asarray(o) == np.asarray(r)).all()
     finally:
@@ -261,8 +261,8 @@ def test_nl_targeted_layout_writes_bitwise(backend, nl):
             outs[flag], _ = adi3d.adi_timestep_3d(
                 cur, cur, ga, dt, 2, nl, pa, backend=backend, exact=True,
                 compute_error=False, merge_ok=merge_ok)
-        assert adi3d._nl_stacked_possible(cur, ga, backend, nl, merge_ok,
-                                          None)
+        assert adi3d.dispatch_report(cur.u.shape, ga, backend, nl,
+                                     merge_ok)["stacked"]
         for r, o in zip(outs[False], outs[True]):
             assert (np.asarray(o) == np.asarray(r)).all()
     finally:

@@ -131,5 +131,6 @@ def test_bench_case_duals_inert_and_stacked_engages():
     merge_ok = tuple(bool(((np.asarray(ga.cls_a[ax]) == INTERIOR)
                            == is_in).all()) for ax in range(3))
     cur = init_state(grid)
-    assert adi3d._nl_stacked_possible(cur, ga, "fused_nl", 2, merge_ok,
-                                      None)
+    rep = adi3d.dispatch_report(cur.u.shape, ga, "fused_nl", 2, merge_ok)
+    assert rep["stacked"], rep
+    assert rep["dirs"] == {"X": "pair", "Y": "pair", "Z": "pair"}, rep

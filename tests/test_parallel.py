@@ -386,8 +386,8 @@ def _sharded_stacked_bitwise(backend, nl):
             adi3d.NL_STACKED = flag
             adi3d.adi_timestep_3d.clear_cache()
             if flag:
-                assert adi3d._nl_stacked_possible(cur, ga, backend, nl,
-                                                  merge_ok, plan)
+                assert adi3d.dispatch_report(cur.u.shape, ga, backend,
+                                             nl, merge_ok, plan)["stacked"]
             sh = cur_s
             for _ in range(2):
                 sh, _ = adi3d.adi_timestep_3d(sh, sh, ga_s, dt, 2, nl, pa,
@@ -448,8 +448,8 @@ def test_sharded_nl_stacked_collective_budget():
     plan = make_x_mesh(8)
     cur_s = plan.shard_state(cur)
     ga_s = plan.shard_grid(ga)
-    assert adi3d._nl_stacked_possible(cur, ga, "fused_nl", 2, merge_ok,
-                                      plan)
+    assert adi3d.dispatch_report(cur.u.shape, ga, "fused_nl", 2,
+                                 merge_ok, plan)["stacked"]
 
     def step(c):
         new, _ = adi3d.adi_timestep_3d(c, c, ga_s, dt, ng, 2, pa,
