@@ -52,3 +52,18 @@ def test_sharded_512_sweep_chunked_matches_scan():
         np.testing.assert_allclose(np.asarray(o), np.asarray(r),
                                    rtol=0, atol=5e-7)
     assert abs(err_got - err_ref) < 1e-9
+
+
+def test_dryrun_full_backend_sweep(monkeypatch):
+    """The legacy-backend dryrun sweep (the round-3 gate content that blew
+    the driver budget, MULTICHIP_r03 rc=124): now exercised here in the
+    gated tier instead of in the driver gate — fused, fused_dma,
+    fused_full, fused_bf16 and the nl=1 paths, all sharded."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "graft_entry", os.path.join(os.path.dirname(__file__), "..",
+                                    "__graft_entry__.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    monkeypatch.setenv("CMCFS_DRYRUN_FULL", "1")
+    mod.dryrun_multichip(8)
