@@ -59,11 +59,14 @@ NL_STACKED = True
 # kernel writes out/tn DIRECTLY in the consuming direction's kernel layout
 # (in-VMEM slab transposes + permuted-slice DMAs, dual writes for the
 # dual-consumer next-layer outputs), killing the 7 XLA relayouts per
-# global iteration entirely (~13% of the v4 step per profile_dirs; the
-# bound is Mosaic's lane-transpose throughput — A/B on silicon before
-# flipping this default).  Bitwise equal to the plain stacked step
-# (test_backends3d).  Read at trace time.
-NL_TARGETED = False
+# global iteration entirely.  Default ON since round 4: the silicon A/B
+# (bench_logs/ab_targeted_r4.log, 256^3 ng=4 nl=2) measured 56.2 vs 73.6
+# ms/step (-24%) with a 0.00e+00 checksum delta — bitwise equal to the
+# plain stacked step (test_backends3d).  Degrades itself (with a warning)
+# when the kernels' VMEM request exceeds the Mosaic grant cap
+# (_nl_targeted_vmem_ok — the pcr x targeted combination at 256^3).
+# Read at trace time.
+NL_TARGETED = True
 
 # Env overrides for the three step-structure flags (CMCFS_NL_XMODE /
 # CMCFS_NL_STACKED / CMCFS_NL_TARGETED, "0"/"1") so gated modes are
@@ -94,6 +97,21 @@ class ParamsArgs3D(NamedTuple):
 # two paths can never diverge.
 NL_PERM3 = {1: (1, 0, 2), 2: (2, 0, 1)}      # canonical -> kernel layout
 NL_INV3 = {1: (1, 0, 2), 2: (1, 2, 0)}       # kernel layout -> canonical
+
+# Targeted-layout call table, shared by _nl_stacked_step_targeted's
+# run_dir invocations AND the _nl_targeted_vmem_ok grant checker (round-3
+# advisor finding: a hardcoded copy in the checker could silently
+# desynchronize from the step).  Per direction axis:
+#   (operand layout perm from canonical (x,y,z),
+#    out_perms of the direction's FINAL pair kernel, tn_perm).
+# X's entry is its non-final-global variant — the VMEM worst case; the
+# last-global X call writes identity layouts (strictly cheaper).
+IDP3 = (0, 1, 2)
+NL_TARGETED_CALLS = {
+    2: ((2, 1, 0), ((1, 2, 0), (2, 1, 0)), (1, 2, 0)),   # Z @ L_Z=(z,y,x)
+    1: ((1, 0, 2), (IDP3, (1, 0, 2)), (1, 0, 2)),        # Y @ L_Y=(y,x,z)
+    0: (IDP3, ((2, 1, 0),), (2, 1, 0)),                  # X @ L_X
+}
 
 
 def _nl_scal(axis: int, pa: ParamsArgs3D, dt, swap_jl: bool = False):
@@ -436,8 +454,14 @@ def _nl_pair_active(axis: int, n_sweep: int, backend: str, merge_ok_ax: bool,
         # stream kernel, which cannot run on resharded X lines — fall back
         # to the fused_dma reshard path for the whole direction
         return False
+    if not dual_free and num_local % 2 != 0:
+        # dual-endpoint lines: the pair kernel stitches them in-kernel
+        # (second elimination chain, pallas_sweep_nl cls_b/take_b) but the
+        # stream kernel for the trailing odd iteration does not — fall
+        # back for the whole direction on odd num_local
+        return False
     from ..ops.pallas_sweep_nl import MAX_SWEEP
-    return merge_ok_ax and dual_free and n_sweep <= MAX_SWEEP
+    return merge_ok_ax and n_sweep <= MAX_SWEEP
 
 
 def _dir_path(axis: int, n_sweep: int, backend: str, merge_ok_ax: bool,
@@ -459,12 +483,13 @@ def _dir_path(axis: int, n_sweep: int, backend: str, merge_ok_ax: bool,
         return "fallback"
     nl_here = _nl_pair_active(axis, n_sweep, backend, merge_ok_ax,
                               dual_free, num_local, plan)
-    if not (merge_ok_ax and dual_free
-            and (plan is None or axis != 0 or nl_here)):
-        return "fallback"
     if nl_here:
+        # the pair kernel handles dual-endpoint lines in-kernel; an odd
+        # trailing stream iteration requires dual_free (enforced above)
         return "pair" if num_local % 2 == 0 else "pair+stream"
-    return "stream"
+    if merge_ok_ax and dual_free and (plan is None or axis != 0):
+        return "stream"
+    return "fallback"
 
 
 def _solve_nl_fused(axis: int, rhs: State3D, temp: State3D, out: State3D,
@@ -507,8 +532,15 @@ def _solve_nl_fused(axis: int, rhs: State3D, temp: State3D, out: State3D,
         rhs4 = rhs4.astype(jnp.bfloat16)
         op4 = op4.astype(jnp.bfloat16)
     cls = ga.cls_a[axis]
+    clsb = ga.cls_b[axis]      # None on dual-free directions (common case)
+    takeb = ga.take_b[axis]
 
-    def call_kernel(t4, c3, bv3, bt3, r4, o4_, scal_):
+    def call_kernel(t4, c3, bv3, bt3, r4, o4_, scal_, cb3=None, tb3=None):
+        def mb(f):
+            # apply a layout transform to the optional dual-mask arrays
+            return (None if cb3 is None else f(cb3),
+                    None if tb3 is None else f(tb3))
+
         if NL_XMODE and axis > 0:
             # route Y/Z through the sweep_axis=0 kernel layout: the sweep
             # dim becomes the slab's major dim, so the serial row loop
@@ -521,33 +553,39 @@ def _solve_nl_fused(axis: int, rhs: State3D, temp: State3D, out: State3D,
                                                           for d in perm3))
             itr4 = lambda t: jnp.transpose(t, (0,) + tuple(d + 1
                                                            for d in inv3))
+            cbk, tbk = mb(tr)
             o4x, t4x = fused_sweep_nl(tr4(t4), tr(c3), tr(bv3), tr(bt3),
                                       tr4(r4), tr4(o4_), scal_,
                                       sweep_axis=0, axis_var=axis,
-                                      exact=exact, gmerge=gmerge, pcr=pcr)
+                                      exact=exact, gmerge=gmerge, pcr=pcr,
+                                      cls_b=cbk, take_b=tbk)
             return itr4(o4x), itr4(t4x)
         if axis == 2:
             sw = lambda t: jnp.swapaxes(t, 1, 2)
             sw4 = lambda t: jnp.swapaxes(t, 2, 3)
+            cbk, tbk = mb(sw)
             o4x, t4x = fused_sweep_nl(sw4(t4), sw(c3), sw(bv3), sw(bt3),
                                       sw4(r4), sw4(o4_), scal_,
                                       sweep_axis=1, axis_var=axis,
-                                      exact=exact, gmerge=gmerge)
+                                      exact=exact, gmerge=gmerge,
+                                      cls_b=cbk, take_b=tbk)
             return sw4(o4x), sw4(t4x)
         # axis == 0 (sweep_axis=0) or the pre-xmode Y (sweep_axis=1);
         # PCR needs the xmode layout, so it rides only the former
         return fused_sweep_nl(t4, c3, bv3, bt3, r4, o4_, scal_,
                               sweep_axis=axis, axis_var=axis, exact=exact,
-                              gmerge=gmerge, pcr=pcr and axis == 0)
+                              gmerge=gmerge, pcr=pcr and axis == 0,
+                              cls_b=cb3, take_b=tb3)
 
     if plan is None:
         o4, t4 = call_kernel(temp4, cls, ga.bc_vel, ga.bc_temp,
-                             rhs4, op4, scal)
+                             rhs4, op4, scal, clsb, takeb)
     else:
         from jax.sharding import NamedSharding, PartitionSpec as P
         ax = plan.axis
         nsh = plan.mesh.shape[ax]
         bcv, bct = ga.bc_vel, ga.bc_temp
+        has_dual = clsb is not None
         padB = 0
         if axis == 0:
             # X lines span the shards: reshard so the Y batch dim splits
@@ -568,6 +606,9 @@ def _solve_nl_fused(axis: int, rhs: State3D, temp: State3D, out: State3D,
                 cls = jnp.pad(cls, pY3)
                 bcv = jnp.pad(bcv, pY3)
                 bct = jnp.pad(bct, pY3)
+                if has_dual:
+                    clsb = jnp.pad(clsb, pY3)
+                    takeb = jnp.pad(takeb, pY3)
             spec3 = P(None, ax, None)
             hdim3, hdim4 = 1, 2       # halo/shard dim: Y
         else:
@@ -576,12 +617,13 @@ def _solve_nl_fused(axis: int, rhs: State3D, temp: State3D, out: State3D,
         spec4 = P(None, *spec3)
         fwd = [(i, i + 1) for i in range(nsh - 1)]   # i's last -> i+1's left
         bwd = [(i + 1, i) for i in range(nsh - 1)]   # i's first -> i-1's right
+        db_specs = (spec3, spec3) if has_dual else ()
 
         @functools.partial(jax.shard_map, mesh=plan.mesh,
                            in_specs=(spec4, spec3, spec3, spec3, spec4,
-                                     spec4, P(None)),
+                                     spec4, P(None)) + db_specs,
                            out_specs=(spec4, spec4), check_vma=False)
-        def run(t4_, c3_, bv3_, bt3_, r4_, o4__, scal_):
+        def run(t4_, c3_, bv3_, bt3_, r4_, o4__, scal_, *db):
             def ext(arr, xdim):
                 first = jax.lax.slice_in_dim(arr, 0, 1, axis=xdim)
                 if nsh == 1:
@@ -593,15 +635,21 @@ def _solve_nl_fused(axis: int, rhs: State3D, temp: State3D, out: State3D,
                 rh = jax.lax.ppermute(first, ax, bwd)
                 return jnp.concatenate([lh, arr, rh], axis=xdim)
 
+            # dual masks halo-extend like cls: zero-filled edge planes
+            # decode to identity rows with no dual/take flags
+            dkw = {}
+            if db:
+                dkw = dict(cb3=ext(db[0], hdim3), tb3=ext(db[1], hdim3))
             o4x, t4x = call_kernel(ext(t4_, hdim4), ext(c3_, hdim3),
                                    ext(bv3_, hdim3), ext(bt3_, hdim3),
                                    ext(r4_, hdim4), ext(o4__, hdim4),
-                                   scal_)
+                                   scal_, **dkw)
             sl = [slice(None)] * 4
             sl[hdim4] = slice(1, -1)
             return o4x[tuple(sl)], t4x[tuple(sl)]
 
-        o4, t4 = run(temp4, cls, bcv, bct, rhs4, op4, scal)
+        db_args = (clsb, takeb) if has_dual else ()
+        o4, t4 = run(temp4, cls, bcv, bct, rhs4, op4, scal, *db_args)
         if axis == 0:
             if padB:
                 o4 = o4[:, :, :-padB]
@@ -699,7 +747,10 @@ def dispatch_report(shape3: tuple, ga: GridArrays3D, backend: str,
     stacked = _nl_stacked_possible(pshape, dual_free, backend, num_local,
                                    merge_ok, plan)
     targeted = bool(stacked and NL_TARGETED and plan is None
-                    and _nl_targeted_vmem_ok(pshape, pcr, bf16))
+                    and _nl_targeted_shape_ok(pshape)
+                    and _nl_targeted_vmem_ok(
+                        pshape, pcr, bf16,
+                        tuple(not d for d in dual_free)))
     dirs = {name: _dir_path(ax, pshape[ax], backend, merge_ok[ax],
                             dual_free[ax], num_local, plan)
             for ax, name in ((0, "X"), (1, "Y"), (2, "Z"))}
@@ -708,22 +759,51 @@ def dispatch_report(shape3: tuple, ga: GridArrays3D, backend: str,
                 dirs=dirs)
 
 
-def _nl_targeted_vmem_ok(shape3, pcr: bool, bf16: bool) -> bool:
+def _nl_targeted_shape_ok(shape3) -> bool:
+    """Mosaic alignment gate for the targeted-layout writes: the
+    lane-crossing staging stores slice the staging buffer per sublane
+    row (pallas_sweep_nl.stage_store), and the slice's minormost extent
+    is the kernel's sweep length n — Mosaic requires it 128-aligned
+    ("Slice shape along dimension 3 must be aligned to tiling (128)").
+    Z's and X's final kernels use lane-crossing perms (NL_TARGETED_CALLS),
+    Y's are sublane-only, so the padded X and Z extents must be LANES
+    multiples.  256^3 passes; 64^3-class grids degrade to the plain
+    stacked step.  Mosaic-only: the Pallas interpreter (CPU tests) has no
+    tiling constraint, so small-grid CPU tests keep exercising the
+    targeted staging logic."""
+    if jax.default_backend() != "tpu":
+        return True
+    from ..ops.sweep_common import LANES, S_TILE, ceil_to
+
+    def lane_crossing_ok(ax):
+        perm, op, tp = NL_TARGETED_CALLS[ax]
+        crossing = any(p in ((1, 2, 0), (2, 1, 0)) for p in op)
+        crossing = crossing or tp in ((1, 2, 0), (2, 1, 0))
+        if not crossing:
+            return True
+        n = ceil_to(shape3[ax], S_TILE)     # the direction's sweep length
+        return n % LANES == 0
+
+    return all(lane_crossing_ok(ax) for ax in range(3))
+
+
+def _nl_targeted_vmem_ok(shape3, pcr: bool, bf16: bool,
+                         dual3=(False, False, False)) -> bool:
     """True when every targeted-layout final-pair kernel of the stacked
     step fits the Mosaic VMEM grant cap.  The pcr x targeted combination
     exceeds it at 256^3 (~144 MB request vs the 110 MB cap; 127 MB bf16)
     — degrading to the plain stacked step trades the saved relayouts for
-    a run that compiles (NOTES_NEXT 0b)."""
+    a run that compiles (NOTES_NEXT 0b).  The call table is
+    NL_TARGETED_CALLS — the same constant _nl_stacked_step_targeted
+    drives its kernels with.  ``dual3``: per-axis dual-endpoint presence
+    (adds the pass-B chain scratch to the estimate)."""
     from ..ops.pallas_sweep_nl import nl_vmem_request
-    nx, ny, nz = shape3
-    # (operand shape, out_perms, tn_perm) of each direction's final pair
-    # kernel in _nl_stacked_step_targeted
-    calls = (((nz, ny, nx), ((1, 2, 0), (2, 1, 0)), (1, 2, 0)),   # Z
-             ((ny, nx, nz), ((0, 1, 2), (1, 0, 2)), (1, 0, 2)),   # Y
-             ((nx, ny, nz), ((2, 1, 0),), (2, 1, 0)))             # X
-    for s, op, tp in calls:
+    for ax in (2, 1, 0):
+        perm, op, tp = NL_TARGETED_CALLS[ax]
+        s = tuple(shape3[k] for k in perm)
         req, cap = nl_vmem_request(s, 0, pcr=pcr, bf16=bf16,
-                                   out_perms=op, tn_perm=tp)
+                                   out_perms=op, tn_perm=tp,
+                                   has_dual=dual3[ax])
         if req > cap:
             return False
     return True
@@ -773,12 +853,15 @@ def _nl_stacked_step_targeted(cur: State3D, nxt: State3D, ga: GridArrays3D,
     masks = {}
     for axis, p in ((0, None), (1, PY), (2, PZ)):
         c, bv, bt = ga.cls_a[axis], ga.bc_vel, ga.bc_temp
+        cb, tb = ga.cls_b[axis], ga.take_b[axis]
         if p is not None:
             c, bv, bt = t3(c, p), t3(bv, p), t3(bt, p)
-        masks[axis] = (c, bv, bt)
+            cb = None if cb is None else t3(cb, p)
+            tb = None if tb is None else t3(tb, p)
+        masks[axis] = (c, bv, bt, cb, tb)
 
     def run_dir(axis, temp4, rhs4, op4, out_perms, tn_perm, gmerge_last):
-        cls, bv, bt = masks[axis]
+        cls, bv, bt, cb, tb = masks[axis]
         r4 = rhs4.astype(jnp.bfloat16) if bf16 else rhs4
         pairs = num_local // 2
         out4 = op4
@@ -789,7 +872,8 @@ def _nl_stacked_step_targeted(cur: State3D, nxt: State3D, ga: GridArrays3D,
                 temp4, cls, bv, bt, r4, o_in, scals[axis], sweep_axis=0,
                 axis_var=axis, exact=exact, gmerge=gmerge_last and last,
                 pcr=pcr, out_perms=out_perms if last else (IDP,),
-                tn_perm=tn_perm if last else IDP, swap_cross=(axis == 2))
+                tn_perm=tn_perm if last else IDP, swap_cross=(axis == 2),
+                cls_b=cb, take_b=tb)
             if bf16:
                 res = tuple(o.astype(f32) for o in res)
                 tn4 = tn4.astype(f32)
@@ -807,19 +891,24 @@ def _nl_stacked_step_targeted(cur: State3D, nxt: State3D, ga: GridArrays3D,
     nxt_out = None
     for g in range(num_global):
         last_g = g == num_global - 1
+        # out_perms/tn_perm come from the shared NL_TARGETED_CALLS table
+        # (also the VMEM checker's source of truth)
         (rhsY, opX), tY = run_dir(2, tempZ, curZ, opZ,
-                                  out_perms=((1, 2, 0), (2, 1, 0)),
-                                  tn_perm=(1, 2, 0), gmerge_last=False)
+                                  out_perms=NL_TARGETED_CALLS[2][1],
+                                  tn_perm=NL_TARGETED_CALLS[2][2],
+                                  gmerge_last=False)
         (half4, rhsX), tX = run_dir(1, tY, rhsY, half4,
-                                    out_perms=(IDP, (1, 0, 2)),
-                                    tn_perm=(1, 0, 2), gmerge_last=False)
+                                    out_perms=NL_TARGETED_CALLS[1][1],
+                                    tn_perm=NL_TARGETED_CALLS[1][2],
+                                    gmerge_last=False)
         if last_g:
             (nxt_out,), _ = run_dir(0, tX, rhsX, opX, out_perms=(IDP,),
                                     tn_perm=IDP, gmerge_last=True)
         else:
             (opZ,), tempZ = run_dir(0, tX, rhsX, opX,
-                                    out_perms=((2, 1, 0),),
-                                    tn_perm=(2, 1, 0), gmerge_last=True)
+                                    out_perms=NL_TARGETED_CALLS[0][1],
+                                    tn_perm=NL_TARGETED_CALLS[0][2],
+                                    gmerge_last=True)
     return nxt_out
 
 
@@ -853,15 +942,20 @@ def _nl_stacked_step(cur: State3D, nxt: State3D, ga: GridArrays3D, dt,
     kernel operands are bit-identical to the per-direction sharded
     path, so results stay bitwise equal (test_parallel)."""
     if NL_TARGETED and plan is None:
-        if _nl_targeted_vmem_ok(cur.u.shape, pcr, bf16):
+        dual3 = tuple(ga.cls_b[ax] is not None for ax in range(3))
+        if (_nl_targeted_shape_ok(cur.u.shape)
+                and _nl_targeted_vmem_ok(cur.u.shape, pcr, bf16, dual3)):
             return _nl_stacked_step_targeted(cur, nxt, ga, dt, num_global,
                                              num_local, pa, exact, bf16, pcr)
-        import warnings
-        warnings.warn(
-            "NL_TARGETED degraded to the plain stacked step: the targeted "
-            f"kernels' VMEM request exceeds the grant cap at this grid "
-            f"({cur.u.shape}, pcr={pcr}, bf16={bf16}) — see "
-            "pallas_sweep_nl.nl_vmem_request", stacklevel=2)
+        if _nl_targeted_shape_ok(cur.u.shape):
+            # only warn for the VMEM case: shape-misaligned grids are the
+            # expected small-grid regime, not a configuration surprise
+            import warnings
+            warnings.warn(
+                "NL_TARGETED degraded to the plain stacked step: the "
+                "targeted kernels' VMEM request exceeds the grant cap at "
+                f"this grid ({cur.u.shape}, pcr={pcr}, bf16={bf16}) — see "
+                "pallas_sweep_nl.nl_vmem_request", stacklevel=2)
     from ..ops.pallas_sweep_nl import fused_sweep_nl
     f32 = jnp.float32
 
@@ -902,26 +996,35 @@ def _nl_stacked_step(cur: State3D, nxt: State3D, ga: GridArrays3D, dt,
             p3 = ((0, 0), (0, pad_y), (0, 0))
             ga_k = ga._replace(
                 cls_a=tuple(jnp.pad(c, p3) for c in ga.cls_a),
+                cls_b=tuple(None if c is None else jnp.pad(c, p3)
+                            for c in ga.cls_b),
+                take_b=tuple(None if c is None else jnp.pad(c, p3)
+                             for c in ga.take_b),
                 bc_vel=jnp.pad(ga.bc_vel, p3),
                 bc_temp=jnp.pad(ga.bc_temp, p3))
             cur4 = jnp.pad(cur4, ((0, 0),) + p3)
             nxt4 = jnp.pad(nxt4, ((0, 0),) + p3)
 
     # static masks per direction, in kernel layout (traced once; XLA CSEs
-    # the transposed copies across global iterations)
+    # the transposed copies across global iterations); dual-endpoint
+    # directions carry their pass-B class + stitch masks alongside
     masks = {}
     for axis, p in ((0, None), (1, PX2Y), (2, PX2Z)):
         c, bv, bt = ga_k.cls_a[axis], ga_k.bc_vel, ga_k.bc_temp
+        cb, tb = ga_k.cls_b[axis], ga_k.take_b[axis]
         if p is not None:
             c, bv, bt = t3(c, p), t3(bv, p), t3(bt, p)
-        masks[axis] = (c, bv, bt)
+            cb = None if cb is None else t3(cb, p)
+            tb = None if tb is None else t3(tb, p)
+        masks[axis] = (c, bv, bt, cb, tb)
 
     if plan is None:
         def call(axis, t4_, r4_, o4_, gmerge):
-            cls, bv, bt = masks[axis]
+            cls, bv, bt, cb, tb = masks[axis]
             return fused_sweep_nl(t4_, cls, bv, bt, r4_, o4_, scals[axis],
                                   sweep_axis=0, axis_var=axis, exact=exact,
-                                  gmerge=gmerge, pcr=pcr)
+                                  gmerge=gmerge, pcr=pcr,
+                                  cls_b=cb, take_b=tb)
     else:
         # every direction's kernel layout has the sharded dim on the
         # kernel's j-dim (grid X for Y/Z, grid Y for the resharded X), so
@@ -946,21 +1049,30 @@ def _nl_stacked_step(cur: State3D, nxt: State3D, ga: GridArrays3D, dt,
             return jnp.concatenate([lh, arr, rh], axis=dim)
 
         def call(axis, t4_, r4_, o4_, gmerge):
-            cls, bv, bt = masks[axis]
+            cls, bv, bt, cb, tb = masks[axis]
+            has_dual = cb is not None
+            db_specs = (spec3, spec3) if has_dual else ()
 
             @functools.partial(
                 jax.shard_map, mesh=plan.mesh,
                 in_specs=(spec4, spec3, spec3, spec3, spec4, spec4,
-                          P(None)),
+                          P(None)) + db_specs,
                 out_specs=(spec4, spec4), check_vma=False)
-            def krun(t4s, c3s, bvs, bts, r4s, o4s, scal_):
+            def krun(t4s, c3s, bvs, bts, r4s, o4s, scal_, *db):
+                dkw = {}
+                if db:
+                    # dual masks halo-extend like cls (zero planes decode
+                    # to identity rows, no dual/take flags)
+                    dkw = dict(cls_b=ext(db[0], 1), take_b=ext(db[1], 1))
                 o4x, t4x = fused_sweep_nl(
                     ext(t4s, 2), ext(c3s, 1), ext(bvs, 1), ext(bts, 1),
                     ext(r4s, 2), ext(o4s, 2), scal_, sweep_axis=0,
-                    axis_var=axis, exact=exact, gmerge=gmerge, pcr=pcr)
+                    axis_var=axis, exact=exact, gmerge=gmerge, pcr=pcr,
+                    **dkw)
                 return o4x[:, :, 1:-1], t4x[:, :, 1:-1]
 
-            return krun(t4_, cls, bv, bt, r4_, o4_, scals[axis])
+            db_args = (cb, tb) if has_dual else ()
+            return krun(t4_, cls, bv, bt, r4_, o4_, scals[axis], *db_args)
 
     def run_dir(axis, temp4, rhs4, op4, gmerge_last):
         r4 = rhs4.astype(jnp.bfloat16) if bf16 else rhs4

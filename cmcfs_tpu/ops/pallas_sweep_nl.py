@@ -65,7 +65,7 @@ from jax.experimental.pallas import tpu as pltpu
 from .masks import BC0, BC1, INTERIOR
 from .sweep_common import (LANES, S_TILE, build_a, build_abc,
                            ceil_to as _ceil_to, decode_pk, make_row_ops,
-                           pack_masks)
+                           pack_masks, pack_masks_dual)
 
 MAX_SWEEP = 256
 N_MRG = 4     # row-chunk count for vectorized slab passes (VMEM stack cap)
@@ -73,7 +73,7 @@ IDP = (0, 1, 2)   # identity output layout
 VMEM_CAP = 110 * 1024 * 1024   # Mosaic grant cap observed on this silicon
 
 
-def _vmem_need_bytes(slab, c_blocks, pcr, bf16, n_stage):
+def _vmem_need_bytes(slab, c_blocks, pcr, bf16, n_stage, has_dual=False):
     """Scratch-VMEM estimate (bytes) for one fused_sweep_nl invocation —
     the slab-count accounting behind vmem_limit_bytes, factored out so
     nl_vmem_request can pre-check gated mode combinations."""
@@ -92,44 +92,61 @@ def _vmem_need_bytes(slab, c_blocks, pcr, bf16, n_stage):
     if pcr:
         # parity-pair input groups (op 2x4, aux 2x2), 4-slot out/tn, plus
         # ~16 slab-sized live values inside the unrolled PCR levels
+        # (~32 with the dual pass-B chains)
         scratch_slabs = (S_AV + 2 + 8 * pay_f + 4 + S_A + 7 * S_B + S_P
                          + 4 * S_R * pay_f + 8 + 2 + 7 + 16
+                         + (16 if has_dual else 0)
                          + (8 * 0.5 + 1 if bf16 else 0))
     else:
         scratch_slabs = (S_AV + 2 + 2 * (1 + pay_f) + S_A + 7 * S_B + S_P
                          + 4 * S_R * pay_f + 4 + 2 + 7
+                         + (3 if has_dual else 0)   # cpB / rbufB / d'B
                          + (2 * 1.0 + 1 if bf16 else 0))
     n_ot = 4 if pcr else 2
     return (int(scratch_slabs * slab_bytes)
             + int(n_stage * n_ot * pay_f * slab_bytes))
 
 
-def nl_vmem_request(shape3, sweep_axis, pcr=False, bf16=False,
-                    out_perms=None, tn_perm=None):
-    """(request_bytes, cap_bytes): the Mosaic VMEM grant a fused_sweep_nl
-    call on an (A, B, C) grid would ask for vs the grant cap.
-
-    Mirrors the kernel's padding/blocking; request = need * 1.3 (margin
-    for Mosaic's own temporaries).  request > cap means the kernel risks a
-    compile-time VMEM-allocation failure — models/adi3d uses this to
-    degrade the targeted-layout mode when combined with pcr at large
-    grids (the ~111-slab vs 110 MB hazard at 256^3, NOTES_NEXT 0b)."""
+def _blocking(shape3, sweep_axis):
+    """The kernel's padding/blocking derivation — the single source of
+    truth shared by fused_sweep_nl and nl_vmem_request (round-3 advisor
+    finding: a mirrored copy could drift).  Returns
+    (Ap, Bp, Cp, slab, n, n_blocks, c_blocks)."""
     A, B, C = shape3
     Cp = _ceil_to(C, LANES)
     Ap = _ceil_to(A, S_TILE)
     Bp = _ceil_to(B, S_TILE)
+    n = (Ap, Bp)[sweep_axis]
     slab = (Ap, S_TILE, LANES) if sweep_axis == 0 else (S_TILE, Bp, LANES)
+    n_blocks = (Bp if sweep_axis == 0 else Ap) // S_TILE
     c_blocks = Cp // LANES
+    return Ap, Bp, Cp, slab, n, n_blocks, c_blocks
+
+
+def nl_vmem_request(shape3, sweep_axis, pcr=False, bf16=False,
+                    out_perms=None, tn_perm=None, has_dual=False):
+    """(request_bytes, cap_bytes): the Mosaic VMEM grant a fused_sweep_nl
+    call on an (A, B, C) grid would ask for vs the grant cap.
+
+    Uses the kernel's own _blocking derivation; request = need * 1.3
+    (margin for Mosaic's own temporaries).  request > cap means the
+    kernel risks a compile-time VMEM-allocation failure — models/adi3d
+    uses this to degrade the targeted-layout mode when combined with pcr
+    at large grids (the ~111-slab vs 110 MB hazard at 256^3,
+    NOTES_NEXT 0b)."""
+    _, _, _, slab, _, _, c_blocks = _blocking(shape3, sweep_axis)
     ops_ = tuple(tuple(p) for p in out_perms) if out_perms else (IDP,)
     tnp_ = tuple(tn_perm) if tn_perm else IDP
     n_stage = sum(1 for p in ops_ if p != IDP) + (1 if tnp_ != IDP else 0)
-    need = _vmem_need_bytes(slab, c_blocks, pcr, bf16, n_stage)
+    need = _vmem_need_bytes(slab, c_blocks, pcr, bf16, n_stage,
+                            has_dual=has_dual)
     return int(need * 1.3), VMEM_CAP
 
 
 def _make_kernel(n, sweep_axis, axis_var, exact, c_blocks, n_blocks,
                  gmerge=False, bf16=False, pcr=False,
-                 out_perms=(IDP,), tn_perm=IDP, swap_cross=False):
+                 out_perms=(IDP,), tn_perm=IDP, swap_cross=False,
+                 has_dual=False):
     row, set_row = make_row_ops(sweep_axis)
     total = n_blocks * c_blocks
     lag = c_blocks
@@ -160,8 +177,28 @@ def _make_kernel(n, sweep_axis, axis_var, exact, c_blocks, n_blocks,
              f1s, f2s,
              adv_sems, sh_sems, in_sems, out_sems,
              out_bf=None, tn_bf=None, rhs_f=None,
-             o_stage=(None,), tn_stage=None):
+             o_stage=(None,), tn_stage=None,
+             cpB=None, rbufB=None, dBst=None):
         f32 = jnp.float32
+
+        # Dual-endpoint decode (reference MAX_SEGS_PER_ROW=2, Grid3D.h:43):
+        # the extended pk carries cls_a + the dual/take flags; pass B's
+        # class differs from pass A ONLY at dual cells (BC0 start role
+        # instead of BC1 end role, ops/masks.py).  dec3 replaces decode_pk
+        # at every cls-only site so the high bits never corrupt cls.
+        if has_dual:
+            from .sweep_common import decode_pk_dual
+
+            def dec3(pkv):
+                cls, bcv, bct, _d, _t = decode_pk_dual(pkv)
+                return cls, bcv, bct
+
+            def dec5(pkv):
+                cls, bcv, bct, dual, take = decode_pk_dual(pkv)
+                clsB = jnp.where(dual == 1.0, jnp.float32(BC0), cls)
+                return cls, clsB, bcv, bct, take
+        else:
+            dec3 = decode_pk
 
         def slabP(ref, vv, b, p):
             # the block's slab slice in an output laid out as
@@ -340,11 +377,17 @@ def _make_kernel(n, sweep_axis, axis_var, exact, c_blocks, n_blocks,
 
         def coeff_pass(adv_ref, pk_ref, vis, for_T):
             """(c', denom) elimination chain shared by the velocity group /
-            recomputed for T (see pallas_sweep_stream.coeff_pass)."""
+            recomputed for T (see pallas_sweep_stream.coeff_pass).  With
+            duals, a SECOND chain runs in lockstep with pass B's row
+            assignment (dual cells take the BC0 start role) — the carries
+            diverge from the dual cell through the following run and
+            re-converge at the next block start (a=0 resets the
+            recurrence), exactly the reference's two overlapping segments
+            (AdiSolver3D.cu:376-404 solves each independently)."""
             b_int = inv3dt + 2.0 * vis
 
             def cbody(p, c_prev):
-                cls, bcv, bct = decode_pk(row(pk_ref, p))
+                cls, bcv, bct = dec3(row(pk_ref, p))
                 free = (bct if for_T else bcv) == 1
                 a, b, c = build_abc(cls, free, row(adv_ref, p) * inv2h, vis,
                                     b_int, bc2d=False)
@@ -361,7 +404,41 @@ def _make_kernel(n, sweep_axis, axis_var, exact, c_blocks, n_blocks,
                 set_row(cp, p, c_new)
                 return c_new
 
-            chunked(cbody, zero_row)
+            def cbody2(p, carry):
+                cA_prev, cB_prev = carry
+                clsA, clsB, bcv, bct, _take = dec5(row(pk_ref, p))
+                free = (bct if for_T else bcv) == 1
+                adv2h = row(adv_ref, p) * inv2h
+                aA, bA, cA_ = build_abc(clsA, free, adv2h, vis, b_int,
+                                        bc2d=False)
+                aB, bB, cB_ = build_abc(clsB, free, adv2h, vis, b_int,
+                                        bc2d=False)
+                aA_eff = jnp.where(p == 0, 0.0, aA)
+                cA_eff = jnp.where(p == n - 1, 0.0, cA_)
+                aB_eff = jnp.where(p == 0, 0.0, aB)
+                cB_eff = jnp.where(p == n - 1, 0.0, cB_)
+                denA = bA - aA_eff * cA_prev
+                denB = bB - aB_eff * cB_prev
+                if exact:
+                    cA_new = cA_eff / denA
+                    cB_new = cB_eff / denB
+                    set_row(rbuf, p, denA)
+                    set_row(rbufB, p, denB)
+                else:
+                    rA = pl.reciprocal(denA, approx=False)
+                    rB = pl.reciprocal(denB, approx=False)
+                    cA_new = cA_eff * rA
+                    cB_new = cB_eff * rB
+                    set_row(rbuf, p, rA)
+                    set_row(rbufB, p, rB)
+                set_row(cp, p, cA_new)
+                set_row(cpB, p, cB_new)
+                return (cA_new, cB_new)
+
+            if has_dual:
+                chunked(cbody2, (zero_row, zero_row))
+            else:
+                chunked(cbody, zero_row)
 
         def solve_var(v, vis, adv_ref, pk_ref, T_ref, rhs_ref, forc_ref,
                       tv_ref, dstage, xstage):
@@ -370,12 +447,11 @@ def _make_kernel(n, sweep_axis, axis_var, exact, c_blocks, n_blocks,
             the variable's own temp slab (Dirichlet BC d values).  d' stages
             into ``dstage``, x into ``xstage`` (both overwritten by the
             caller's merge)."""
-            def d_body(p, d_prev):
-                cls, bcv, bct = decode_pk(row(pk_ref, p))
-                free = (bct if v == 3 else bcv) == 1
+            def make_d(cls, free, p):
+                # the d row is IDENTICAL for both passes: interiors match
+                # (duals are never interior) and the Dirichlet/FREE d_bc
+                # forms coincide for the BC0 and BC1 roles
                 interior = cls == INTERIOR
-                a = build_a(cls, free, row(adv_ref, p) * inv2h, vis)
-                a_eff = jnp.where(p == 0, 0.0, a)
                 d_int = row(rhs_ref, p) * inv3dt
                 if v == axis_var:
                     pp = jnp.minimum(p + 1, n - 1)
@@ -386,16 +462,43 @@ def _make_kernel(n, sweep_axis, axis_var, exact, c_blocks, n_blocks,
                     d_int = d_int + row(forc_ref, p)
                 # BC d: the variable's own temp value (Dirichlet) or 0 (FREE)
                 d_bc = jnp.where(free, 0.0, row(tv_ref, p))
-                d = jnp.where(interior, d_int,
-                              jnp.where((cls == BC0) | (cls == BC1),
-                                        d_bc, 0.0))
+                return jnp.where(interior, d_int,
+                                 jnp.where((cls == BC0) | (cls == BC1),
+                                           d_bc, 0.0))
+
+            def d_body(p, d_prev):
+                cls, bcv, bct = dec3(row(pk_ref, p))
+                free = (bct if v == 3 else bcv) == 1
+                a = build_a(cls, free, row(adv_ref, p) * inv2h, vis)
+                a_eff = jnp.where(p == 0, 0.0, a)
+                d = make_d(cls, free, p)
                 rr = row(rbuf, p)
                 num = d - d_prev * a_eff
                 d_new = num / rr if exact else num * rr
                 set_row(dstage, p, d_new)
                 return d_new
 
-            chunked(d_body, zero_row)
+            def d_body2(p, carry):
+                dA_prev, dB_prev = carry
+                clsA, clsB, bcv, bct, _take = dec5(row(pk_ref, p))
+                free = (bct if v == 3 else bcv) == 1
+                adv2h = row(adv_ref, p) * inv2h
+                aA_eff = jnp.where(p == 0, 0.0,
+                                   build_a(clsA, free, adv2h, vis))
+                aB_eff = jnp.where(p == 0, 0.0,
+                                   build_a(clsB, free, adv2h, vis))
+                d = make_d(clsA, free, p)
+                numA = d - dA_prev * aA_eff
+                numB = d - dB_prev * aB_eff
+                if exact:
+                    dA_new = numA / row(rbuf, p)
+                    dB_new = numB / row(rbufB, p)
+                else:
+                    dA_new = numA * row(rbuf, p)
+                    dB_new = numB * row(rbufB, p)
+                set_row(dstage, p, dA_new)
+                set_row(dBst, p, dB_new)
+                return (dA_new, dB_new)
 
             def bwd_body(q, x_next):
                 p = n - 1 - q
@@ -403,7 +506,23 @@ def _make_kernel(n, sweep_axis, axis_var, exact, c_blocks, n_blocks,
                 set_row(xstage, p, x)
                 return x
 
-            chunked(bwd_body, zero_row)
+            def bwd_body2(q, carry):
+                xA_next, xB_next = carry
+                p = n - 1 - q
+                xA = row(dstage, p) - row(cp, p) * xA_next
+                xB = row(dBst, p) - row(cpB, p) * xB_next
+                _cA, _cB, _bv, _bt, take = dec5(row(pk_ref, p))
+                # stitched write: pass B's value inside take_b runs (the
+                # reference's start-role-wins write order)
+                set_row(xstage, p, jnp.where(take == 1.0, xB, xA))
+                return (xA, xB)
+
+            if has_dual:
+                chunked(d_body2, (zero_row, zero_row))
+                chunked(bwd_body2, (zero_row, zero_row))
+            else:
+                chunked(d_body, zero_row)
+                chunked(bwd_body, zero_row)
 
         # -------------------------------- PCR-mode vectorized solve
         # (pcr=True, sweep_axis==0 only): parallel cyclic reduction over
@@ -466,7 +585,12 @@ def _make_kernel(n, sweep_axis, axis_var, exact, c_blocks, n_blocks,
             the f32 rhs slab value; ``tv_of(v)`` the variable's own temp
             slab value (Dirichlet BC d).  Returns [x_u, x_v, x_w, x_T]."""
             pk = pk_ref[...]
-            cls_s, bcv_s, bct_s = decode_pk(pk)
+            if has_dual:
+                from .sweep_common import decode_pk_dual
+                cls_s, bcv_s, bct_s, dual_s, take_s = decode_pk_dual(pk)
+                clsB_s = jnp.where(dual_s == 1.0, jnp.float32(BC0), cls_s)
+            else:
+                cls_s, bcv_s, bct_s = decode_pk(pk)
             interior = cls_s == INTERIOR
             is_bc = (cls_s == BC0) | (cls_s == BC1)
             adv2h = adv_ref[...] * inv2h
@@ -505,8 +629,23 @@ def _make_kernel(n, sweep_axis, axis_var, exact, c_blocks, n_blocks,
                 d_bc = jnp.where(free_t if v == 3 else free_v, 0.0, tv_of(v))
                 ds.append(jnp.where(interior, d_int,
                                     jnp.where(is_bc, d_bc, 0.0)))
-            return (_pcr_chain(a, b, c, ds[:3])
-                    + _pcr_chain(aT, bT, cT, [ds[3]]))
+            xs = (_pcr_chain(a, b, c, ds[:3])
+                  + _pcr_chain(aT, bT, cT, [ds[3]]))
+            if not has_dual:
+                return xs
+            # pass-B chains: identical rows except dual cells take the BC0
+            # start role; the shared d's are reused, the stitched solution
+            # takes pass B inside take_b runs (start-role-wins order)
+            aB, bB, cB_ = build_abc(clsB_s, free_v, adv2h, v_vis_h2,
+                                    inv3dt + 2.0 * v_vis_h2, bc2d=False)
+            aB, cB_ = cap(aB, cB_)
+            aTB, bTB, cTB = build_abc(clsB_s, free_t, adv2h, t_vis_h2,
+                                      inv3dt + 2.0 * t_vis_h2, bc2d=False)
+            aTB, cTB = cap(aTB, cTB)
+            xsB = (_pcr_chain(aB, bB, cB_, ds[:3])
+                   + _pcr_chain(aTB, bTB, cTB, [ds[3]]))
+            tk = take_s == 1.0
+            return [jnp.where(tk, xb, xa) for xa, xb in zip(xs, xsB)]
 
         # ---------------------------------------- in-kernel dissipation
         # shared by BOTH iterations: iteration 1 differentiates the input
@@ -677,7 +816,7 @@ def _make_kernel(n, sweep_axis, axis_var, exact, c_blocks, n_blocks,
                     tv1 = tv_ref1(v)
                     for m in range(N_MRG):
                         sl = mrg_sl(m)
-                        cls, _, _ = decode_pk(pk1[sl])
+                        cls, _, _ = dec3(pk1[sl])
                         written = cls != 0.0
                         is_in = cls == INTERIOR
                         t_old = tv1[sl]
@@ -721,7 +860,7 @@ def _make_kernel(n, sweep_axis, axis_var, exact, c_blocks, n_blocks,
                     #   out1 = where(written, x, out_prev); tn1 = avg on IN
                     for m in range(N_MRG):
                         sl = mrg_sl(m)
-                        cls, _, _ = decode_pk(pk1[sl])
+                        cls, _, _ = dec3(pk1[sl])
                         written = cls != 0.0
                         is_in = cls == INTERIOR
                         t_old = tv1[sl]
@@ -791,7 +930,7 @@ def _make_kernel(n, sweep_axis, axis_var, exact, c_blocks, n_blocks,
                     tv2 = tv_ref2(v)
                     for m in range(N_MRG):
                         sl = mrg_sl(m)
-                        cls, _, _ = decode_pk(pk2[sl])
+                        cls, _, _ = dec3(pk2[sl])
                         written = cls != 0.0
                         is_in = cls == INTERIOR
                         t_old = tv2[sl]
@@ -832,7 +971,7 @@ def _make_kernel(n, sweep_axis, axis_var, exact, c_blocks, n_blocks,
                     # iteration-2 merge against the resident iter-1 layers
                     for m in range(N_MRG):
                         sl = mrg_sl(m)
-                        cls, _, _ = decode_pk(pk2[sl])
+                        cls, _, _ = dec3(pk2[sl])
                         written = cls != 0.0
                         is_in = cls == INTERIOR
                         t_old = tv2[sl]
@@ -893,6 +1032,10 @@ def _make_kernel(n, sweep_axis, axis_var, exact, c_blocks, n_blocks,
             k += 1
         (cp, rbuf, h1s, h2s, gavs, go1s, go2s, f1s, f2s) = s[k:k + 9]
         k += 9
+        cpB = rbufB = dBst = None
+        if has_dual and not pcr:
+            cpB, rbufB, dBst = s[k:k + 3]
+            k += 3
         adv_sems, sh_sems, in_sems, out_sems = s[k:k + 4]
         body(scal_ref, temp_hbm, pk_hbm, rhs_hbm, op_hbm,
              outs_hbm, tn_hbm,
@@ -901,7 +1044,8 @@ def _make_kernel(n, sweep_axis, axis_var, exact, c_blocks, n_blocks,
              f1s, f2s,
              adv_sems, sh_sems, in_sems, out_sems,
              out_bf=out_bf, tn_bf=tn_bf, rhs_f=rhs_f,
-             o_stage=tuple(o_stage), tn_stage=tn_stage)
+             o_stage=tuple(o_stage), tn_stage=tn_stage,
+             cpB=cpB, rbufB=rbufB, dBst=dBst)
     return kernel
 
 
@@ -912,7 +1056,8 @@ def _make_kernel(n, sweep_axis, axis_var, exact, c_blocks, n_blocks,
 def fused_sweep_nl(temp4, cls, bcv, bct, rhs4, out_prev4, scal,
                    sweep_axis: int, axis_var: int, exact: bool = True,
                    gmerge: bool = False, pcr: bool = False,
-                   out_perms=None, tn_perm=None, swap_cross: bool = False):
+                   out_perms=None, tn_perm=None, swap_cross: bool = False,
+                   cls_b=None, take_b=None):
     """Two fused local iterations; returns (out2_4, temp2_4).
 
     Arguments as pallas_sweep_stream.fused_sweep_stream minus the
@@ -942,6 +1087,15 @@ def fused_sweep_nl(temp4, cls, bcv, bct, rhs4, out_prev4, scal,
     caller's layout maps o2's coordinate to the j-dim and o1's to lanes
     (the targeted step's L_Z), flipping the cross-derivative pairing in
     the in-kernel dissipation.
+
+    ``cls_b`` / ``take_b`` (dual-endpoint lines, reference
+    MAX_SEGS_PER_ROW=2 Grid3D.h:43): pass-B row classes + stitch mask
+    from ops/masks.line_class_3d.  The kernel then runs a SECOND
+    elimination chain per variable with the BC0 start-role assignment at
+    dual cells and writes pass B's value inside take_b runs — both local
+    iterations, the merges and the in-kernel dissipation see the stitched
+    solution, matching the two-pass XLA fallback bitwise.  Dual-free
+    callers pay nothing (static flag).
     """
     assert not (pcr and sweep_axis != 0), "pcr mode needs the xmode layout"
     targeted = out_perms is not None or tn_perm is not None
@@ -953,11 +1107,19 @@ def fused_sweep_nl(temp4, cls, bcv, bct, rhs4, out_prev4, scal,
     assert all(p in allowed for p in ops_) and tnp_ in allowed, (ops_, tnp_)
     n_dst = len(ops_)
     _, A, B, C = temp4.shape
-    Cp = _ceil_to(C, LANES)
-    Ap = _ceil_to(A, S_TILE)
-    Bp = _ceil_to(B, S_TILE)
-    n = (Ap, Bp)[sweep_axis]
+    Ap, Bp, Cp, slab, n, n_blocks, c_blocks = _blocking((A, B, C),
+                                                        sweep_axis)
     assert n <= MAX_SWEEP, (n, MAX_SWEEP)
+    lane_crossing = ((1, 2, 0), (2, 1, 0))
+    if ((any(p in lane_crossing for p in ops_) or tnp_ in lane_crossing)
+            and jax.default_backend() == "tpu"):
+        # stage_store slices the staging buffer per sublane row with the
+        # sweep length n as the slice's minormost extent — Mosaic rejects
+        # unaligned slices ("aligned to tiling (128)"); the interpreter
+        # has no such constraint.  Callers gate via
+        # models/adi3d._nl_targeted_shape_ok
+        assert n % LANES == 0, \
+            f"lane-crossing targeted writes need n % {LANES} == 0, got {n}"
 
     def pad3(x):
         return jnp.pad(x, ((0, Ap - A), (0, Bp - B), (0, Cp - C)))
@@ -965,14 +1127,16 @@ def fused_sweep_nl(temp4, cls, bcv, bct, rhs4, out_prev4, scal,
     def pad4(x):
         return jnp.pad(x, ((0, 0), (0, Ap - A), (0, Bp - B), (0, Cp - C)))
 
+    has_dual = cls_b is not None
     tp4 = pad4(temp4)
-    pkp = pad3(pack_masks(cls, bcv, bct))
+    if has_dual:
+        dual = (cls_b != cls).astype(jnp.float32)
+        pkp = pad3(pack_masks_dual(cls, bcv, bct, dual, take_b))
+    else:
+        pkp = pad3(pack_masks(cls, bcv, bct))
     rp4 = pad4(rhs4)
     op4 = pad4(out_prev4)
 
-    slab = (Ap, S_TILE, LANES) if sweep_axis == 0 else (S_TILE, Bp, LANES)
-    n_blocks = (Bp if sweep_axis == 0 else Ap) // S_TILE
-    c_blocks = Cp // LANES
     S_A = 2 * c_blocks + 1
     S_B = c_blocks + 1
     S_P = c_blocks + 2
@@ -1007,7 +1171,11 @@ def fused_sweep_nl(temp4, cls, bcv, bct, rhs4, out_prev4, scal,
         stage_scratch.append(pltpu.VMEM((n_ot,) + pshape(tnp_), pay))
         n_stage += 1
 
-    vmem_need = _vmem_need_bytes(slab, c_blocks, pcr, bf16, n_stage)
+    vmem_need = _vmem_need_bytes(slab, c_blocks, pcr, bf16, n_stage,
+                                 has_dual=has_dual)
+    dual_scratch = ([pltpu.VMEM(slab, f32)        # cpB (pass-B c' line)
+                     for _ in range(3)]           # + rbufB + d'B stage
+                    if has_dual and not pcr else [])
 
     def oshape(p):
         return (4,) + tuple((Ap, Bp, Cp)[k] for k in p)
@@ -1020,7 +1188,8 @@ def fused_sweep_nl(temp4, cls, bcv, bct, rhs4, out_prev4, scal,
     result = pl.pallas_call(
         _make_kernel(n, sweep_axis, axis_var, exact, c_blocks, n_blocks,
                      gmerge=gmerge, bf16=bf16, pcr=pcr,
-                     out_perms=ops_, tn_perm=tnp_, swap_cross=swap_cross),
+                     out_perms=ops_, tn_perm=tnp_, swap_cross=swap_cross,
+                     has_dual=has_dual),
         grid=(n_blocks * c_blocks + c_blocks,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [any_spec] * 4,
         out_specs=(any_spec,) * (n_dst + 1),
@@ -1050,6 +1219,7 @@ def fused_sweep_nl(temp4, cls, bcv, bct, rhs4, out_prev4, scal,
             pltpu.VMEM(slab, f32),                 # go2
             pltpu.VMEM(slab, f32),                 # forcing1 (iter-1 diss)
             pltpu.VMEM(slab, f32),                 # forcing2 (iter-2 diss)
+        ] + dual_scratch + [
             pltpu.SemaphoreType.DMA((S_AV,)),      # adv ring sems
             pltpu.SemaphoreType.DMA((2, 2)),       # sh_sems [par, T|pk]
             pltpu.SemaphoreType.DMA(in_sem_shape),  # in_sems

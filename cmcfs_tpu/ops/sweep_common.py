@@ -44,6 +44,31 @@ def decode_pk(pk):
     return cls, bcv, bct
 
 
+def pack_masks_dual(cls, bcv, bct, dual, take):
+    """Extended encoding for dual-endpoint lines (the reference's
+    MAX_SEGS_PER_ROW=2 case, Grid3D.h:43): code = cls + 4*bc_vel +
+    8*bc_temp + 16*dual + 32*take_b — integer-exact in f32 for 0..63.
+    ``dual``: the cell takes the BC0 (segment-start) role in pass B while
+    cls holds its pass-A (BC1) role; ``take``: the stitched solution takes
+    pass B's value here (ops/masks.line_class_3d)."""
+    return (pack_masks(cls, bcv, bct)
+            + 16.0 * dual.astype(jnp.float32)
+            + 32.0 * take.astype(jnp.float32))
+
+
+def decode_pk_dual(pk):
+    """Invert pack_masks_dual: (cls_a, bcv, bct, dual, take)."""
+    take = jnp.floor(pk * 0.03125)
+    r32 = pk - 32.0 * take
+    dual = jnp.floor(r32 * 0.0625)
+    r16 = r32 - 16.0 * dual
+    bct = jnp.floor(r16 * 0.125)
+    r8 = r16 - 8.0 * bct
+    bcv = jnp.floor(r8 * 0.25)
+    cls = r8 - 4.0 * bcv
+    return cls, bcv, bct, dual, take
+
+
 def make_row_ops(sweep_axis: int, cast_f32: bool = False):
     """(row, set_row) accessors for slab-shaped refs: the sweep axis is the
     slab's major dim (sweep_axis == 0) or its middle dim (== 1).  With

@@ -48,16 +48,24 @@ def test_dispatch_report_paths(backend, nl, stacked, path):
     assert rep["dirs"] == {"X": path, "Y": path, "Z": path}, rep
 
 
-def test_dispatch_report_duals_fall_back():
-    """Non-inert (FREE) duals currently exclude the direction from the
-    fused stream/pair paths."""
+def test_dispatch_report_duals():
+    """Non-inert (FREE) duals ride the pair kernel's in-kernel stitch at
+    even num_local; odd num_local (stream-kernel tail, no dual support)
+    and the pure-stream backends fall back."""
     from tests.test_duals import _free_baffled
     grid = _free_baffled(16, 12, 12)
     ga = grid_arrays(grid)
     rep = adi3d.dispatch_report((16, 12, 12), ga, "fused_nl", 2,
                                 (True, True, True))
-    assert rep["dirs"]["X"] == "fallback", rep
-    assert not rep["stacked"]
+    assert rep["dirs"]["X"] == "pair", rep
+    assert rep["stacked"]
+    rep3 = adi3d.dispatch_report((16, 12, 12), ga, "fused_nl", 3,
+                                 (True, True, True))
+    assert rep3["dirs"]["X"] == "fallback", rep3
+    assert rep3["dirs"]["Y"] == "pair+stream", rep3   # Y is dual-free
+    repf = adi3d.dispatch_report((16, 12, 12), ga, "fused_full", 2,
+                                 (True, True, True))
+    assert repf["dirs"]["X"] == "fallback", repf
 
 
 def test_dispatch_report_long_lines_fall_back():

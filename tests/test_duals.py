@@ -134,3 +134,68 @@ def test_bench_case_duals_inert_and_stacked_engages():
     rep = adi3d.dispatch_report(cur.u.shape, ga, "fused_nl", 2, merge_ok)
     assert rep["stacked"], rep
     assert rep["dirs"] == {"X": "pair", "Y": "pair", "Z": "pair"}, rep
+
+
+import pytest
+
+
+@pytest.mark.parametrize("backend,nl,atol", [
+    ("fused_nl", 2, 5e-7),     # in-kernel dual stitch, stacked+targeted
+    ("fused_nl", 4, 1e-6),     # chained pairs with duals
+    ("fused_pcr", 2, 5e-6),    # PCR dual chains (reordered elimination)
+])
+def test_free_duals_pair_kernel_matches_scan(backend, nl, atol):
+    """FREE-BC duals through the num_local-pair kernel's in-kernel
+    second-chain stitch (pallas_sweep_nl cls_b/take_b) vs the exact-order
+    scan (which runs the two-pass XLA stitch).  CPU interpreter tolerance
+    follows test_backends3d (~1 ulp from the in-kernel mul-by-reciprocal
+    RHS build; bitwise on TPU)."""
+    grid = _free_baffled(16, 12, 12)
+    ga = grid_arrays(grid)
+    assert ga.cls_b[0] is not None
+    cur = init_state(grid)
+    pa = _pa(grid)
+    dt = jnp.float32(0.01)
+    mo = (True, True, True)
+    rep = adi3d.dispatch_report((16, 12, 12), ga, backend, nl, mo)
+    assert rep["dirs"]["X"] == "pair" and rep["stacked"], rep
+
+    ref, e0 = adi3d.adi_timestep_3d(cur, cur, ga, dt, 2, nl, pa,
+                                    backend="scan", exact=True,
+                                    compute_error=True)
+    out, e1 = adi3d.adi_timestep_3d(cur, cur, ga, dt, 2, nl, pa,
+                                    backend=backend, exact=True,
+                                    compute_error=True, merge_ok=mo)
+    for r, o in zip(ref, out):
+        np.testing.assert_allclose(np.asarray(o), np.asarray(r),
+                                   rtol=0, atol=atol)
+    assert abs(float(e0) - float(e1)) < 1e-6
+
+
+def test_free_duals_step_structure_variants_bitwise():
+    """The three step structures (per-direction xmode, plain stacked,
+    targeted stacked) must agree BITWISE with each other on a dual grid —
+    they drive the identical kernels with identical operands."""
+    grid = _free_baffled(16, 12, 12)
+    ga = grid_arrays(grid)
+    cur = init_state(grid)
+    pa = _pa(grid)
+    dt = jnp.float32(0.01)
+    mo = (True, True, True)
+    saved = (adi3d.NL_STACKED, adi3d.NL_TARGETED)
+    outs = {}
+    try:
+        for name, st, tg in (("perdir", False, False),
+                             ("stacked", True, False),
+                             ("targeted", True, True)):
+            adi3d.NL_STACKED, adi3d.NL_TARGETED = st, tg
+            adi3d.adi_timestep_3d.clear_cache()
+            outs[name], _ = adi3d.adi_timestep_3d(
+                cur, cur, ga, dt, 2, 2, pa, backend="fused_nl", exact=True,
+                compute_error=False, merge_ok=mo)
+    finally:
+        adi3d.NL_STACKED, adi3d.NL_TARGETED = saved
+        adi3d.adi_timestep_3d.clear_cache()
+    for name in ("stacked", "targeted"):
+        for r, o in zip(outs["perdir"], outs[name]):
+            assert (np.asarray(o) == np.asarray(r)).all(), name

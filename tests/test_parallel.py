@@ -352,21 +352,38 @@ def test_sharded_nl_pair_matches_unsharded():
                                    rtol=0, atol=5e-7)
 
 
-def _sharded_stacked_bitwise(backend, nl):
+def _sharded_stacked_bitwise(backend, nl, dual=False):
     """The sharded stacked-carry step (adi3d.NL_STACKED with a plan: the
     whole num_global loop on 4-var stacks in kernel layouts, one uniform
     1-plane j-halo shard_map wrapper for all three directions, grid Y
     padded once for X's reshard divisibility) must be BITWISE equal to
     the sharded per-direction path (NL_STACKED=False) — the kernels see
     bit-identical per-cell operands; halo lines re-solve to the owner's
-    bits and padded rows are identity rows either way."""
+    bits and padded rows are identity rows either way.
+
+    ``dual``: run on the FREE-baffled fixture instead — X lines carry
+    dual endpoints and the kernels run the in-kernel cls_b/take_b stitch
+    across the shard boundary (the geometry class of the reference's
+    MAX_SEGS_PER_ROW=2 cases, Grid3D.h:43)."""
     import __graft_entry__ as g
     from cmcfs_tpu.models import adi3d
+    from cmcfs_tpu.models.common3d import grid_arrays, init_state
     from cmcfs_tpu.core.types import NodeType
     from cmcfs_tpu.ops.masks import INTERIOR
     from cmcfs_tpu.parallel.mesh import make_x_mesh
 
-    _, ga, cur, pa = g._setup(32, 19, 21, "scan")
+    if dual:
+        grid = _baffled_cavity(32, 19, 21)
+        ga = grid_arrays(grid)
+        assert ga.cls_b[0] is not None, "dual fixture lost its duals"
+        cur = init_state(grid)
+        from cmcfs_tpu.core.params import FluidParams
+        p = FluidParams.normalized(200.0, 0.72, 1.4)
+        pa = adi3d.ParamsArgs3D(*[jnp.float32(x) for x in
+                                  (p.v_T, p.v_vis, p.t_vis, p.t_phi,
+                                   grid.dx, grid.dy, grid.dz)])
+    else:
+        _, ga, cur, pa = g._setup(32, 19, 21, "scan")
     is_in = np.asarray(ga.types) == NodeType.IN
     merge_ok = tuple(
         bool(((np.asarray(ga.cls_a[ax]) == INTERIOR) == is_in).all())
@@ -406,6 +423,52 @@ def test_sharded_nl_stacked_carry_bitwise():
     """See _sharded_stacked_bitwise — the default-tier fused_nl nl=2
     case; the gated tier widens to nl=4 / bf16 / pcr."""
     _sharded_stacked_bitwise("fused_nl", 2)
+
+
+def test_sharded_nl_stacked_carry_bitwise_duals():
+    """The sharded stacked step on a grid WITH dual endpoints (in-kernel
+    cls_b/take_b stitch under shard_map) — round-4 verdict item 7."""
+    _sharded_stacked_bitwise("fused_nl", 2, dual=True)
+
+
+def test_sharded_nl_pair_duals_matches_unsharded():
+    """Sharding must stay bitwise-neutral for the pair kernel's dual
+    stitch: 8-shard fused_nl (stacked, dual fixture) vs single-device."""
+    from cmcfs_tpu.models import adi3d
+    from cmcfs_tpu.models.common3d import grid_arrays, init_state
+    from cmcfs_tpu.core.params import FluidParams
+    from cmcfs_tpu.parallel.mesh import make_x_mesh
+
+    grid = _baffled_cavity(32, 19, 21)
+    ga = grid_arrays(grid)
+    assert ga.cls_b[0] is not None
+    cur = init_state(grid)
+    p = FluidParams.normalized(200.0, 0.72, 1.4)
+    pa = adi3d.ParamsArgs3D(*[jnp.float32(x) for x in
+                              (p.v_T, p.v_vis, p.t_vis, p.t_phi,
+                               grid.dx, grid.dy, grid.dz)])
+    dt = jnp.float32(0.01)
+    from cmcfs_tpu.core.types import NodeType
+    from cmcfs_tpu.ops.masks import INTERIOR
+    is_in = np.asarray(ga.types) == NodeType.IN
+    mo = tuple(bool(((np.asarray(ga.cls_a[ax]) == INTERIOR)
+                     == is_in).all()) for ax in range(3))
+    plan = make_x_mesh(8)
+    cur_s = plan.shard_state(cur)
+    ga_s = plan.shard_grid(ga)
+
+    ref, sh = cur, cur_s
+    for _ in range(2):
+        ref, _ = adi3d.adi_timestep_3d(ref, ref, ga, dt, 2, 2, pa,
+                                       backend="fused_nl",
+                                       compute_error=False, merge_ok=mo)
+        sh, _ = adi3d.adi_timestep_3d(sh, sh, ga_s, dt, 2, 2, pa,
+                                      backend="fused_nl",
+                                      compute_error=False, merge_ok=mo,
+                                      plan=plan)
+    for r, s in zip(ref, sh):
+        np.testing.assert_allclose(np.asarray(s), np.asarray(r),
+                                   rtol=0, atol=5e-7)
 
 
 @pytest.mark.skipif(os.environ.get("CMCFS_LONG") != "1",
