@@ -65,7 +65,7 @@ def run_bench_2d(n: int = 1024, steps: int = 50, backend: str = "auto",
 
 def run_bench(size_dx: float = 0.00409, steps: int = 10, warmup: int = 2,
               backend: str = "fused_nl", num_global: int = 4, num_local: int = 2,
-              exact: bool = False):
+              exact: bool = False, carried: str = "auto"):
     import jax
     import jax.numpy as jnp
     from cmcfs_tpu.core.config import Config
@@ -100,24 +100,50 @@ def run_bench(size_dx: float = 0.00409, steps: int = 10, warmup: int = 2,
     import sys
     dispatch = adi3d.dispatch_report((grid.dimx, grid.dimy, grid.dimz), ga,
                                      backend, num_local, merge_ok)
-    print(f"dispatch: {dispatch}", file=sys.stderr, flush=True)
+    # carried-state loop: the simulation state stays stacked in the Z
+    # kernel layout ACROSS steps (adi3d.nl_carried_*) — kills the per-step
+    # stack/transpose/unstack glue; bitwise equal to the step-API loop
+    # (tests/test_carried.py, bench_logs/probe_carried_r4.log)
+    pre = (adi3d.nl_carried_pre(ga, backend, num_local, merge_ok)
+           if carried != "off" else None)
+    if carried == "on" and pre is None:
+        raise SystemExit(f"--carried on: cannot engage (dispatch {dispatch})")
+    print(f"dispatch: {dispatch} carried={pre is not None}",
+          file=sys.stderr, flush=True)
 
-    def step(state, nxt):
-        new, _ = adi3d.adi_timestep_3d(state, nxt, ga, dt, num_global,
-                                       num_local, pa, backend=backend,
-                                       exact=exact, compute_error=False,
-                                       merge_ok=merge_ok)
-        return new, state
+    if pre is not None:
+        curZ, prevZ = adi3d.nl_carried_begin(cur, cur)
+        for _ in range(warmup):
+            nxtZ = adi3d.nl_carried_step(curZ, prevZ, pre, dt, pa,
+                                         num_global, num_local, exact=exact)
+            curZ, prevZ = nxtZ, curZ
+        float(jnp.sum(adi3d.nl_carried_end(curZ)[0]))   # force
+        t0 = time.time()
+        for _ in range(steps):
+            nxtZ = adi3d.nl_carried_step(curZ, prevZ, pre, dt, pa,
+                                         num_global, num_local, exact=exact)
+            curZ, prevZ = nxtZ, curZ
+        # forces execution + fetch (the one-time exit transpose is
+        # deliberately inside the timed window)
+        checksum = float(jnp.sum(adi3d.nl_carried_end(curZ)[0]))
+        wall = time.time() - t0
+    else:
+        def step(state, nxt):
+            new, _ = adi3d.adi_timestep_3d(state, nxt, ga, dt, num_global,
+                                           num_local, pa, backend=backend,
+                                           exact=exact, compute_error=False,
+                                           merge_ok=merge_ok)
+            return new, state
 
-    state, nxt = cur, cur
-    for _ in range(warmup):
-        state, nxt = step(state, nxt)
-    float(jnp.sum(state[0]))          # force
-    t0 = time.time()
-    for _ in range(steps):
-        state, nxt = step(state, nxt)
-    checksum = float(jnp.sum(state[0]))  # forces execution + fetch
-    wall = time.time() - t0
+        state, nxt = cur, cur
+        for _ in range(warmup):
+            state, nxt = step(state, nxt)
+        float(jnp.sum(state[0]))          # force
+        t0 = time.time()
+        for _ in range(steps):
+            state, nxt = step(state, nxt)
+        checksum = float(jnp.sum(state[0]))  # forces execution + fetch
+        wall = time.time() - t0
     ms_per_step = wall / steps * 1e3
 
     return dict(
@@ -160,6 +186,9 @@ def main():
     ap.add_argument("--dx", type=float, default=0.00409)
     ap.add_argument("--backend", default="fused_nl")
     ap.add_argument("--case", default="3d", choices=["3d", "3d384", "2d1024"])
+    ap.add_argument("--carried", default="auto", choices=["auto", "on", "off"],
+                    help="carried-state loop (adi3d.nl_carried_*): auto = "
+                         "engage when the targeted stacked dispatch allows")
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args()
     _await_tunnel()
@@ -175,9 +204,10 @@ def main():
             print(f"note: 3d384 clamps --steps {args.steps} -> {steps} "
                   f"(~1 s/step on this chip)", file=sys.stderr)
         res = run_bench(size_dx=0.0027267, steps=steps,
-                        backend=args.backend)
+                        backend=args.backend, carried=args.carried)
     else:
-        res = run_bench(size_dx=args.dx, steps=args.steps, backend=args.backend)
+        res = run_bench(size_dx=args.dx, steps=args.steps,
+                        backend=args.backend, carried=args.carried)
 
     baseline_path = os.path.join(ROOT, "BASELINE_MEASURED.json")
     vs = None

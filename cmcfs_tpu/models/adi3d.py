@@ -809,6 +809,101 @@ def _nl_targeted_vmem_ok(shape3, pcr: bool, bf16: bool,
     return True
 
 
+def _nl_targeted_masks(ga: GridArrays3D) -> dict:
+    """Per-direction static mask bundles in the TARGETED kernel layouts
+    (L_X=(x,y,z), L_Y=(y,x,z), L_Z=(z,y,x)): (cls, bc_vel, bc_temp,
+    cls_b, take_b), each transposed from canonical.  Shared by the
+    in-step targeted path (transposed inside every traced step) and the
+    carried-state API (transposed ONCE at setup, nl_carried_pre)."""
+    PZ = (2, 1, 0)     # L_X <-> L_Z (self-inverse)
+    PY = (1, 0, 2)     # L_X <-> L_Y (self-inverse)
+    masks = {}
+    for axis, p in ((0, None), (1, PY), (2, PZ)):
+        c, bv, bt = ga.cls_a[axis], ga.bc_vel, ga.bc_temp
+        cb, tb = ga.cls_b[axis], ga.take_b[axis]
+        if p is not None:
+            c, bv, bt = (jnp.transpose(a, p) for a in (c, bv, bt))
+            cb = None if cb is None else jnp.transpose(cb, p)
+            tb = None if tb is None else jnp.transpose(tb, p)
+        masks[axis] = (c, bv, bt, cb, tb)
+    return masks
+
+
+def _nl_targeted_run_dir(axis, temp4, rhs4, op4, masks, scals,
+                         num_local: int, exact: bool, bf16: bool, pcr: bool,
+                         out_perms, tn_perm, gmerge_last: bool):
+    """One direction of the targeted stacked step: num_local//2 pair-kernel
+    invocations chained through VMEM-layout identity writes; only the
+    FINAL pair writes the targeted (consumer-layout) outputs."""
+    from ..ops.pallas_sweep_nl import fused_sweep_nl, IDP
+    f32 = jnp.float32
+    cls, bv, bt, cb, tb = masks[axis]
+    r4 = rhs4.astype(jnp.bfloat16) if bf16 else rhs4
+    pairs = num_local // 2
+    out4 = op4
+    for k in range(pairs):
+        last = k == pairs - 1
+        o_in = out4.astype(jnp.bfloat16) if bf16 else out4
+        res, tn4 = fused_sweep_nl(
+            temp4, cls, bv, bt, r4, o_in, scals[axis], sweep_axis=0,
+            axis_var=axis, exact=exact, gmerge=gmerge_last and last,
+            pcr=pcr, out_perms=out_perms if last else (IDP,),
+            tn_perm=tn_perm if last else IDP, swap_cross=(axis == 2),
+            cls_b=cb, take_b=tb)
+        if bf16:
+            res = tuple(o.astype(f32) for o in res)
+            tn4 = tn4.astype(f32)
+        if not last:
+            temp4, out4 = tn4, res[0]
+    return res, tn4
+
+
+def _nl_targeted_loop(tempZ, curZ, opZ, half4, masks, scals,
+                      num_global: int, num_local: int, exact: bool,
+                      bf16: bool, pcr: bool, final_out_perms,
+                      final_tn_perm):
+    """The targeted stacked global loop (data flow per global iteration,
+    TimeStep AdiSolver3D.cpp:335-358):
+      Z: temp/rhs/op @ L_Z -> tn @ L_Y (Y temp), out @ L_Y (Y rhs)
+                                                 + L_X (X op)
+      Y: temp/rhs @ L_Y, op = half4 @ L_Y -> tn @ L_X (X temp),
+         out @ L_Y (next-Y op, aliased) + L_X (X rhs)
+      X: temp/rhs/op @ L_X, gmerge folded -> tn @ L_Z (next Z temp),
+         out @ L_Z (next Z op); final iteration: out @ ``final_out_perms``.
+
+    ``final_out_perms``/``final_tn_perm`` pick the LAST global
+    iteration's X output layout: identity for the in-step path (the
+    canonical L_X result stack), (2,1,0) for the carried-state API
+    (the NEXT step's L_Z operand, written in-kernel — no XLA transpose).
+    out_perms/tn_perm of the other calls come from the shared
+    NL_TARGETED_CALLS table (also the VMEM checker's source of truth)."""
+    def rd(axis, t4_, r4_, o4_, out_perms, tn_perm, gmerge_last):
+        return _nl_targeted_run_dir(axis, t4_, r4_, o4_, masks, scals,
+                                    num_local, exact, bf16, pcr,
+                                    out_perms, tn_perm, gmerge_last)
+
+    nxt_out = None
+    for g in range(num_global):
+        last_g = g == num_global - 1
+        (rhsY, opX), tY = rd(2, tempZ, curZ, opZ,
+                             out_perms=NL_TARGETED_CALLS[2][1],
+                             tn_perm=NL_TARGETED_CALLS[2][2],
+                             gmerge_last=False)
+        (half4, rhsX), tX = rd(1, tY, rhsY, half4,
+                               out_perms=NL_TARGETED_CALLS[1][1],
+                               tn_perm=NL_TARGETED_CALLS[1][2],
+                               gmerge_last=False)
+        if last_g:
+            (nxt_out,), _ = rd(0, tX, rhsX, opX, out_perms=final_out_perms,
+                               tn_perm=final_tn_perm, gmerge_last=True)
+        else:
+            (opZ,), tempZ = rd(0, tX, rhsX, opX,
+                               out_perms=NL_TARGETED_CALLS[0][1],
+                               tn_perm=NL_TARGETED_CALLS[0][2],
+                               gmerge_last=True)
+    return nxt_out
+
+
 def _nl_stacked_step_targeted(cur: State3D, nxt: State3D, ga: GridArrays3D,
                               dt, num_global: int, num_local: int,
                               pa: ParamsArgs3D, exact: bool, bf16: bool,
@@ -818,7 +913,7 @@ def _nl_stacked_step_targeted(cur: State3D, nxt: State3D, ga: GridArrays3D,
     consuming direction's kernel layout (fused_sweep_nl out_perms/tn_perm;
     dual-consumer outputs are written once per consumer), so the XLA
     relayouts between directions vanish — only the once-per-step seeding
-    transposes remain.
+    transposes remain (the carried-state API below removes those too).
 
     Layouts: L_X=(x,y,z), L_Y=(y,x,z), L_Z=(z,y,x).  NB: Z differs from
     the non-targeted stacked step's (z,x,y): with (z,y,x) EVERY targeted
@@ -827,60 +922,15 @@ def _nl_stacked_step_targeted(cur: State3D, nxt: State3D, ga: GridArrays3D,
     flip puts o2's coordinate (y) on Z's j-dim — the kernel runs
     swap_cross=True with an hj/hl-swapped scal; per-cell math is
     unchanged, so the whole step stays bitwise equal to the plain stacked
-    path (test_backends3d).
-
-    Data flow per global iteration (TimeStep, AdiSolver3D.cpp:335-358):
-      Z: temp/rhs/op @ L_Z -> tn @ L_Y (Y temp), out @ L_Y (Y rhs)
-                                                 + L_X (X op)
-      Y: temp/rhs @ L_Y, op = half4 @ L_Y -> tn @ L_X (X temp),
-         out @ L_Y (next-Y op, aliased) + L_X (X rhs)
-      X: temp/rhs/op @ L_X, gmerge folded -> tn @ L_Z (next Z temp),
-         out @ L_Z (next Z op); final iteration: out @ L_X (the result).
-    """
-    from ..ops.pallas_sweep_nl import fused_sweep_nl, IDP
-    f32 = jnp.float32
-    PZ = (2, 1, 0)     # L_X <-> L_Z (self-inverse)
-    PY = (1, 0, 2)     # L_X <-> L_Y (self-inverse)
-
-    def t3(a, p):
-        return jnp.transpose(a, p)
+    path (test_backends3d)."""
+    PZ = (2, 1, 0)
 
     def t4(a, p):
         return jnp.transpose(a, (0,) + tuple(d + 1 for d in p))
 
     scals = {0: _nl_scal(0, pa, dt), 1: _nl_scal(1, pa, dt),
              2: _nl_scal(2, pa, dt, swap_jl=True)}
-    masks = {}
-    for axis, p in ((0, None), (1, PY), (2, PZ)):
-        c, bv, bt = ga.cls_a[axis], ga.bc_vel, ga.bc_temp
-        cb, tb = ga.cls_b[axis], ga.take_b[axis]
-        if p is not None:
-            c, bv, bt = t3(c, p), t3(bv, p), t3(bt, p)
-            cb = None if cb is None else t3(cb, p)
-            tb = None if tb is None else t3(tb, p)
-        masks[axis] = (c, bv, bt, cb, tb)
-
-    def run_dir(axis, temp4, rhs4, op4, out_perms, tn_perm, gmerge_last):
-        cls, bv, bt, cb, tb = masks[axis]
-        r4 = rhs4.astype(jnp.bfloat16) if bf16 else rhs4
-        pairs = num_local // 2
-        out4 = op4
-        for k in range(pairs):
-            last = k == pairs - 1
-            o_in = out4.astype(jnp.bfloat16) if bf16 else out4
-            res, tn4 = fused_sweep_nl(
-                temp4, cls, bv, bt, r4, o_in, scals[axis], sweep_axis=0,
-                axis_var=axis, exact=exact, gmerge=gmerge_last and last,
-                pcr=pcr, out_perms=out_perms if last else (IDP,),
-                tn_perm=tn_perm if last else IDP, swap_cross=(axis == 2),
-                cls_b=cb, take_b=tb)
-            if bf16:
-                res = tuple(o.astype(f32) for o in res)
-                tn4 = tn4.astype(f32)
-            if not last:
-                temp4, out4 = tn4, res[0]
-        return res, tn4
-
+    masks = _nl_targeted_masks(ga)
     cur4 = jnp.stack(tuple(cur))                      # L_X
     nxt4 = jnp.stack(tuple(nxt))                      # L_X
     n4, nx, ny, nz = cur4.shape
@@ -888,28 +938,95 @@ def _nl_stacked_step_targeted(cur: State3D, nxt: State3D, ga: GridArrays3D,
     tempZ = curZ                                      # temp == cur, @ L_Z
     opZ = t4(nxt4, PZ)                                # Z's out_prev @ L_Z
     half4 = jnp.zeros((n4, ny, nx, nz), cur4.dtype)   # L_Y
-    nxt_out = None
-    for g in range(num_global):
-        last_g = g == num_global - 1
-        # out_perms/tn_perm come from the shared NL_TARGETED_CALLS table
-        # (also the VMEM checker's source of truth)
-        (rhsY, opX), tY = run_dir(2, tempZ, curZ, opZ,
-                                  out_perms=NL_TARGETED_CALLS[2][1],
-                                  tn_perm=NL_TARGETED_CALLS[2][2],
-                                  gmerge_last=False)
-        (half4, rhsX), tX = run_dir(1, tY, rhsY, half4,
-                                    out_perms=NL_TARGETED_CALLS[1][1],
-                                    tn_perm=NL_TARGETED_CALLS[1][2],
-                                    gmerge_last=False)
-        if last_g:
-            (nxt_out,), _ = run_dir(0, tX, rhsX, opX, out_perms=(IDP,),
-                                    tn_perm=IDP, gmerge_last=True)
-        else:
-            (opZ,), tempZ = run_dir(0, tX, rhsX, opX,
-                                    out_perms=NL_TARGETED_CALLS[0][1],
-                                    tn_perm=NL_TARGETED_CALLS[0][2],
-                                    gmerge_last=True)
-    return nxt_out
+    return _nl_targeted_loop(tempZ, curZ, opZ, half4, masks, scals,
+                             num_global, num_local, exact, bf16, pcr,
+                             final_out_perms=(IDP3,), final_tn_perm=IDP3)
+
+
+# ---------------------------------------------------------------------------
+# Carried-state API: the whole SIMULATION (not just one step) runs on
+# stacked 4-var arrays kept in the Z kernel layout L_Z=(z,y,x) between
+# steps.  adi_timestep_3d re-stacks State3D, transposes into L_Z, and
+# unstacks back every step (~8 ms/step of the 56 ms bench step at 256^3 —
+# probe_glue's residual); a caller that owns the step loop (bench.py,
+# cli3d steady runs) can instead carry (curZ, prevZ) across steps and
+# pay the transposes once.  The per-step work then starts at the
+# boundary re-seed (TimeStep's next-layer seeding, done elementwise in
+# L_Z — bitwise equal to seeding in canonical layout) and ends with the
+# X direction's final pair kernel writing the new layer DIRECTLY @ L_Z
+# via a targeted (2,1,0) write — zero XLA transposes per step.
+# Bitwise: nl_carried_end(step^n(begin(s))) == adi_timestep_3d^n(s)
+# (tests/test_carried.py).  The reference analog is keeping cur/next
+# resident on the GPU between TimeStep calls (FluidSolver3D.cpp run loop)
+# — we additionally keep them in the hot kernel's memory LAYOUT.
+# Divergence error is not computed per step (bench runs
+# compute_error=False); use nl_carried_end + stencil.div_error_3d when
+# needed.
+# ---------------------------------------------------------------------------
+
+def nl_carried_pre(ga: GridArrays3D, backend: str, num_local: int,
+                   merge_ok: tuple, dtype=jnp.float32):
+    """Static setup for the carried-state loop, or None when it cannot
+    engage (it requires exactly the targeted stacked dispatch, with no
+    step padding and no sharding plan).  Returns a dict holding the
+    pre-permuted mask bundles (_nl_targeted_masks, built ONCE), the
+    L_Z-layout BOUND|VALVE re-seed mask, and the static mode flags."""
+    shape3 = tuple(ga.types.shape)
+    rep = dispatch_report(shape3, ga, backend, num_local, merge_ok, None)
+    if not rep["targeted"] or rep["pad"] is not None:
+        return None
+    is_bv = (ga.types == NodeType.BOUND) | (ga.types == NodeType.VALVE)
+    return dict(masks=_nl_targeted_masks(ga),
+                is_bvZ=jnp.transpose(is_bv, (2, 1, 0)),
+                bf16=rep["bf16"], pcr=rep["pcr"], backend=rep["backend"])
+
+
+@jax.jit
+def nl_carried_begin(cur: State3D, nxt_prev: State3D):
+    """Enter the carried representation: (curZ, prevZ) stacked @ L_Z."""
+    PZ4 = (0, 3, 2, 1)
+    return (jnp.transpose(jnp.stack(tuple(cur)), PZ4),
+            jnp.transpose(jnp.stack(tuple(nxt_prev)), PZ4))
+
+
+@jax.jit
+def nl_carried_end(stateZ) -> State3D:
+    """Leave the carried representation: canonical-layout State3D.
+    A separate jit from any consumer reduction so e.g. a checksum
+    reduces over the SAME canonical layout as the step-API path
+    (bitwise-comparable sums)."""
+    s4 = jnp.transpose(stateZ, (0, 3, 2, 1))
+    return State3D(s4[0], s4[1], s4[2], s4[3])
+
+
+@functools.partial(jax.jit, static_argnames=("num_global", "num_local",
+                                             "exact", "bf16", "pcr"))
+def _nl_carried_step_jit(curZ, prevZ, masks, is_bvZ, dt, pa: ParamsArgs3D,
+                         num_global: int, num_local: int, exact: bool,
+                         bf16: bool, pcr: bool):
+    n4, nz, ny, nx = curZ.shape
+    # next-layer seeding (adi_timestep_3d's where(is_bv, cur, nxt_prev)),
+    # elementwise in L_Z — bitwise equal to seeding canonically
+    opZ = jnp.where(is_bvZ[None], curZ, prevZ)
+    half4 = jnp.zeros((n4, ny, nx, nz), curZ.dtype)   # L_Y
+    scals = {0: _nl_scal(0, pa, dt), 1: _nl_scal(1, pa, dt),
+             2: _nl_scal(2, pa, dt, swap_jl=True)}
+    return _nl_targeted_loop(curZ, curZ, opZ, half4, masks, scals,
+                             num_global, num_local, exact, bf16, pcr,
+                             final_out_perms=((2, 1, 0),),
+                             final_tn_perm=IDP3)
+
+
+def nl_carried_step(curZ, prevZ, pre: dict, dt, pa: ParamsArgs3D,
+                    num_global: int, num_local: int, exact: bool = True):
+    """One reference TimeStep (AdiSolver3D.cpp:306-391) on carried L_Z
+    state.  Returns the new layer @ L_Z; the caller swaps
+    ``curZ, prevZ = result, curZ`` (the reference's cur/next pointer
+    swap, FluidSolver3D.cpp run loop)."""
+    return _nl_carried_step_jit(curZ, prevZ, pre["masks"], pre["is_bvZ"],
+                                dt, pa, num_global=num_global,
+                                num_local=num_local, exact=exact,
+                                bf16=pre["bf16"], pcr=pre["pcr"])
 
 
 def _nl_stacked_step(cur: State3D, nxt: State3D, ga: GridArrays3D, dt,

@@ -1,0 +1,63 @@
+"""Carried-state API (adi3d.nl_carried_*): the whole simulation runs on
+stacked 4-var arrays kept in the L_Z kernel layout across steps, with the
+next step's operand written in-kernel by the X direction's final targeted
+pair kernel.  Same kernels, same per-cell operands as the step API — so
+an n-step carried run must be BITWISE equal to n adi_timestep_3d calls
+(only the XLA glue between steps differs)."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from cmcfs_tpu.core.types import NodeType
+from cmcfs_tpu.ops.masks import INTERIOR
+
+
+def _setup():
+    import __graft_entry__ as g
+    adi3d, ga, cur, pa = g._setup(32, 19, 21, "scan")
+    is_in = np.asarray(ga.types) == NodeType.IN
+    merge_ok = tuple(
+        bool(((np.asarray(ga.cls_a[ax]) == INTERIOR) == is_in).all())
+        for ax in range(3))
+    return adi3d, ga, cur, pa, merge_ok
+
+
+def test_carried_matches_step_api_bitwise():
+    adi3d, ga, cur, pa, merge_ok = _setup()
+    if not all(merge_ok):
+        pytest.skip("fixture has a non-foldable axis")
+    dt = jnp.float32(0.01)
+    pre = adi3d.nl_carried_pre(ga, "fused_nl", 2, merge_ok)
+    assert pre is not None and pre["backend"] == "fused_nl"
+
+    # step API: 3 steps with the reference cur/next swap (bench.py loop)
+    state, nxt = cur, cur
+    for _ in range(3):
+        new, _ = adi3d.adi_timestep_3d(state, nxt, ga, dt, 2, 2, pa,
+                                       backend="fused_nl", exact=True,
+                                       compute_error=False,
+                                       merge_ok=merge_ok)
+        state, nxt = new, state
+
+    curZ, prevZ = adi3d.nl_carried_begin(cur, cur)
+    for _ in range(3):
+        nxtZ = adi3d.nl_carried_step(curZ, prevZ, pre, dt, pa, 2, 2,
+                                     exact=True)
+        curZ, prevZ = nxtZ, curZ
+    out = adi3d.nl_carried_end(curZ)
+    for r, o in zip(state, out):
+        assert (np.asarray(o) == np.asarray(r)).all()
+
+
+def test_carried_pre_refuses_non_targeted_dispatch():
+    """nl_carried_pre must return None whenever the targeted stacked step
+    would not engage (the carried loop has no fallback of its own)."""
+    adi3d, ga, cur, pa, merge_ok = _setup()
+    assert adi3d.nl_carried_pre(ga, "fused_nl", 3, merge_ok) is None
+    assert adi3d.nl_carried_pre(ga, "fused", 2, merge_ok) is None
+    saved = adi3d.NL_TARGETED
+    try:
+        adi3d.NL_TARGETED = False
+        assert adi3d.nl_carried_pre(ga, "fused_nl", 2, merge_ok) is None
+    finally:
+        adi3d.NL_TARGETED = saved
