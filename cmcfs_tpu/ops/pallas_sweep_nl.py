@@ -169,6 +169,10 @@ def _make_kernel(n, sweep_axis, axis_var, exact, c_blocks, n_blocks,
                 else (slice(None), slice(a, b)))
 
     n_dst = len(out_perms)
+    # bf16 full-slab downcast buffers feed only identity-layout DMAs;
+    # staged (non-IDP) destinations downcast inside stage_store
+    idp_out = any(p == IDP for p in out_perms)
+    idp_tn = tn_perm == IDP
 
     def body(scal_ref, temp_hbm, pk_hbm, rhs_hbm, op_hbm,
              outs_hbm, tn_hbm,
@@ -213,20 +217,26 @@ def _make_kernel(n, sweep_axis, axis_var, exact, c_blocks, n_blocks,
             """Transpose the (n, S_TILE, LANES) slab value into a
             destination-layout staging buffer.  (1,0,2) is a sublane-only
             relayout; the lane-crossing perms decompose into S_TILE 2D
-            (n, LANES) -> (LANES, n) transposes."""
+            (n, LANES) -> (LANES, n) transposes.  At bf16 the transpose
+            runs on the f32 source and the downcast rides the store
+            (Mosaic's bf16 lane transposes pack/unpack — the r4
+            bf16-x-targeted A/B loss); f32->bf16 rounding commutes with
+            transposition, so this is bitwise-equal."""
+            cast = ((lambda x: x.astype(jnp.bfloat16)) if bf16
+                    else (lambda x: x))
             if p == (1, 0, 2):
-                dst[...] = jnp.transpose(val, (1, 0, 2))
+                dst[...] = cast(jnp.transpose(val, (1, 0, 2)))
                 return
             for j in range(S_TILE):
-                v2 = jnp.transpose(val[:, j, :])
+                v2 = cast(jnp.transpose(val[:, j, :]))
                 if p == (1, 2, 0):
                     dst[j, :, :] = v2
                 else:                      # (2, 1, 0)
                     dst[:, j, :] = v2
 
         def stage_outputs(slot):
-            src_o = out_bf[slot] if bf16 else out_buf[slot]
-            src_t = tn_bf[slot] if bf16 else tn_buf[slot]
+            src_o = out_buf[slot]
+            src_t = tn_buf[slot]
             for d, p in enumerate(out_perms):
                 if p != IDP:
                     stage_store(o_stage[d].at[slot], src_o, p)
@@ -943,8 +953,9 @@ def _make_kernel(n, sweep_axis, axis_var, exact, c_blocks, n_blocks,
                                               t_new)
                         out_buf[(v,) + sl] = out_new
                         tn_buf[(v,) + sl] = t_new
-                    if bf16:
+                    if bf16 and idp_out:
                         out_bf[v] = out_buf[v].astype(jnp.bfloat16)
+                    if bf16 and idp_tn:
                         tn_bf[v] = tn_buf[v].astype(jnp.bfloat16)
                     stage_outputs(v)
                     for cpy in io_copies(v, v, b2):
@@ -988,8 +999,9 @@ def _make_kernel(n, sweep_axis, axis_var, exact, c_blocks, n_blocks,
                                               t_new)
                         out_buf[(slot,) + sl] = out_new
                         tn_buf[(slot,) + sl] = t_new
-                    if bf16:
+                    if bf16 and idp_out:
                         out_bf[slot] = out_buf[slot].astype(jnp.bfloat16)
+                    if bf16 and idp_tn:
                         tn_bf[slot] = tn_buf[slot].astype(jnp.bfloat16)
                     stage_outputs(slot)
                     for cpy in io_copies(slot, v, b2):
