@@ -7,7 +7,13 @@ Flags: ``align``, ``CSV``, ``backend scan|pallas|fused...``, ``quiet``,
 ``dump_grid`` (BMP slice stack of the mask, like the reference's
 OutputImage — off by default to keep runs lean), ``profile``
 (per-direction event table — the reference's PROFILE_ENABLE mode with
-CopyLayer/SolveSegments_X|Y|Z/MergeLayer/EvalDivError events).
+CopyLayer/SolveSegments_X|Y|Z/MergeLayer/EvalDivError events),
+``carried`` (carried-state loop: the state stays stacked in the Z
+kernel layout across steps, −7.3%/step on silicon — FIELDS bitwise vs
+the per-step loop; the divergence metric matches to reduction-order
+tolerance (~1e-5 rel — it is a full-grid f32 sum fused differently);
+single-chip ADI only; falls back to the per-step loop when the
+dispatch refuses).
 Multi-accelerator flags (reference FluidSolver3D.cpp:26-51 grammar):
 ``GPU [n]`` / ``shards N`` — an N-device "x" mesh (cmcfs_tpu.parallel)
 with GSPMD halo exchange and the resharded X sweep; ``blocking [nBlockZ]``
@@ -91,7 +97,8 @@ def run_case(input_path: str, output_base: str, config_path: str,
              max_steps: int | None = None, collect_errs: bool = False,
              checkpoint: str | None = None, resume: str | None = None,
              shards: int = 1, nblockz: int = 0, balance: str | None = None,
-             orbax: bool = False, profile: bool = False):
+             orbax: bool = False, profile: bool = False,
+             carried: bool = False):
     cfg = Config.load(config_path)
     if cfg.use_normalized_params:
         params = FluidParams.normalized(cfg.Re, cfg.Pr, cfg.lam)
@@ -186,16 +193,61 @@ def run_case(input_path: str, output_base: str, config_path: str,
                 out_layer += 1
         if not quiet:
             print(f"Resuming from step {step0}, t={t0:f}")
-    while t < finaltime:
-        with prof.section("UpdateBoundaries"):
+
+    # carried-state loop (``carried`` flag): the simulation state stays
+    # stacked in the Z kernel layout ACROSS steps (adi3d.nl_carried_*,
+    # −7.3%/step on silicon, bench_logs/probe_carried_r4.log).  The
+    # per-step UpdateBoundaries is done in-layout by the carried step
+    # (reseed_bv=True re-imposes the grid's BOUND/VALVE values on both
+    # layers, elementwise in L_Z) — FIELDS bitwise vs the per-step loop;
+    # the divergence metric matches to reduction-order tolerance only
+    # (tests/test_carried.py pins the full cli sequence).  State
+    # materializes back to (cur, next) only at output/checkpoint/error
+    # events.
+    _cz = _cpre = None
+    if carried and solver.name == "ADI" and not profile:
+        _cpre = solver.carried_runner(cfg.num_local)
+        if _cpre is None:
+            if not quiet and _is_main_process():
+                print("carried: cannot engage on this dispatch — "
+                      "running the per-step loop", file=sys.stderr)
+        else:
+            from .models import adi3d
             solver.update_boundaries()
+            _cz = adi3d.nl_carried_begin(solver.cur, solver.next)
+
+    while t < finaltime:
         compute_err = (i % 10 == 0) or (t + dt >= finaltime)
-        if profile:
+        if _cz is not None:
+            import jax.numpy as jnp
+            from .models import adi3d
+            from .models.solver2d import SolverError
+            from .ops import stencil
+            with prof.section("TimeStep"):
+                nxtZ = adi3d.nl_carried_step(_cz[0], _cz[1], _cpre,
+                                             jnp.float32(dt), solver.pa,
+                                             cfg.num_global, cfg.num_local,
+                                             exact=solver.exact,
+                                             reseed_bv=True)
+                _cz = (nxtZ, _cz[0])
+            if compute_err:
+                cc = adi3d.nl_carried_end(_cz[0])
+                err = float(stencil.div_error_3d(
+                    cc.u, cc.v, cc.w, solver.ga.types,
+                    solver.pa.dx, solver.pa.dy, solver.pa.dz))
+                solver.last_err = err
+                if not (err <= adi3d.ERR_THRESHOLD):   # NaN-safe
+                    raise SolverError(f"Error is too big! {err}")
+        elif profile:
+            with prof.section("UpdateBoundaries"):
+                solver.update_boundaries()
             # per-direction event table (reference PROFILE_ENABLE mode,
             # Profiler.h:44-134): each direction-solve is its own dispatch
             solver.time_step_profiled(dt, cfg.num_global, cfg.num_local,
                                       prof)
         else:
+            with prof.section("UpdateBoundaries"):
+                solver.update_boundaries()
             with prof.section("TimeStep"):
                 solver.time_step(dt, cfg.num_global, cfg.num_local,
                                  compute_err)
@@ -206,6 +258,12 @@ def run_case(input_path: str, output_base: str, config_path: str,
             print(f"\rerr = {solver.last_err:.8f},", end="")
             print_time_step_info(0, i, t, finaltime, timer.elapsed_sec())
 
+        if _cz is not None and i % cfg.out_time_steps == 0:
+            # materialize (cur, next) for get_layer / checkpoint: next is
+            # the PRE-step layer (the reference GetLayer off-by-one)
+            from .models import adi3d
+            solver.cur = adi3d.nl_carried_end(_cz[0])
+            solver.next = adi3d.nl_carried_end(_cz[1])
         if i % cfg.out_time_steps == 0:
             with prof.section("Output"):
                 u, v, w, T = solver.get_layer(cfg.outdimx, cfg.outdimy, cfg.outdimz)
@@ -250,7 +308,7 @@ def run_case(input_path: str, output_base: str, config_path: str,
 def main(argv=None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     flags = {"align": False, "CSV": False, "quiet": False, "dump_grid": False,
-             "orbax": False, "profile": False}
+             "orbax": False, "profile": False, "carried": False}
     backend = "auto"
     extras = {}
     rest = []
@@ -299,7 +357,7 @@ def main(argv=None) -> int:
              shards=int(extras.get("shards", 1)),
              nblockz=int(extras.get("nblockz", 0)),
              balance=extras.get("balance"), orbax=flags["orbax"],
-             profile=flags["profile"])
+             profile=flags["profile"], carried=flags["carried"])
     return 0
 
 

@@ -976,8 +976,11 @@ def nl_carried_pre(ga: GridArrays3D, backend: str, num_local: int,
     if not rep["targeted"] or rep["pad"] is not None:
         return None
     is_bv = (ga.types == NodeType.BOUND) | (ga.types == NodeType.VALVE)
+    PZ4 = (0, 3, 2, 1)
+    val4Z = jnp.transpose(jnp.stack((ga.val_u, ga.val_v, ga.val_w,
+                                     ga.val_T)), PZ4)
     return dict(masks=_nl_targeted_masks(ga),
-                is_bvZ=jnp.transpose(is_bv, (2, 1, 0)),
+                is_bvZ=jnp.transpose(is_bv, (2, 1, 0)), val4Z=val4Z,
                 bf16=rep["bf16"], pcr=rep["pcr"], backend=rep["backend"])
 
 
@@ -1000,14 +1003,25 @@ def nl_carried_end(stateZ) -> State3D:
 
 
 @functools.partial(jax.jit, static_argnames=("num_global", "num_local",
-                                             "exact", "bf16", "pcr"))
-def _nl_carried_step_jit(curZ, prevZ, masks, is_bvZ, dt, pa: ParamsArgs3D,
+                                             "exact", "bf16", "pcr",
+                                             "reseed_bv"))
+def _nl_carried_step_jit(curZ, prevZ, masks, is_bvZ, val4Z,
+                         dt, pa: ParamsArgs3D,
                          num_global: int, num_local: int, exact: bool,
-                         bf16: bool, pcr: bool):
+                         bf16: bool, pcr: bool, reseed_bv: bool):
     n4, nz, ny, nx = curZ.shape
-    # next-layer seeding (adi_timestep_3d's where(is_bv, cur, nxt_prev)),
-    # elementwise in L_Z — bitwise equal to seeding canonically
-    opZ = jnp.where(is_bvZ[None], curZ, prevZ)
+    if reseed_bv:
+        # the cli3d loop's per-step UpdateBoundaries (grid values imposed
+        # on BOUND/VALVE cells of BOTH layers, AdiSolver3D.cpp:286-304),
+        # done elementwise in L_Z — needed because FREE-BC rows overwrite
+        # boundary cells with solved (mirror) values each step
+        curZ = jnp.where(is_bvZ[None], val4Z, curZ)
+        opZ = jnp.where(is_bvZ[None], val4Z, prevZ)
+    else:
+        # bench loop semantics (no per-step UpdateBoundaries): next-layer
+        # seeding (adi_timestep_3d's where(is_bv, cur, nxt_prev)),
+        # elementwise in L_Z — bitwise equal to seeding canonically
+        opZ = jnp.where(is_bvZ[None], curZ, prevZ)
     half4 = jnp.zeros((n4, ny, nx, nz), curZ.dtype)   # L_Y
     scals = {0: _nl_scal(0, pa, dt), 1: _nl_scal(1, pa, dt),
              2: _nl_scal(2, pa, dt, swap_jl=True)}
@@ -1018,15 +1032,20 @@ def _nl_carried_step_jit(curZ, prevZ, masks, is_bvZ, dt, pa: ParamsArgs3D,
 
 
 def nl_carried_step(curZ, prevZ, pre: dict, dt, pa: ParamsArgs3D,
-                    num_global: int, num_local: int, exact: bool = True):
+                    num_global: int, num_local: int, exact: bool = True,
+                    reseed_bv: bool = False):
     """One reference TimeStep (AdiSolver3D.cpp:306-391) on carried L_Z
     state.  Returns the new layer @ L_Z; the caller swaps
     ``curZ, prevZ = result, curZ`` (the reference's cur/next pointer
-    swap, FluidSolver3D.cpp run loop)."""
+    swap, FluidSolver3D.cpp run loop).  ``reseed_bv``: also re-impose the
+    grid's BOUND/VALVE values on both layers first — the cli3d loop's
+    per-step UpdateBoundaries (bench keeps False: its step-API arm has
+    no per-step UpdateBoundaries either)."""
     return _nl_carried_step_jit(curZ, prevZ, pre["masks"], pre["is_bvZ"],
-                                dt, pa, num_global=num_global,
+                                pre["val4Z"], dt, pa, num_global=num_global,
                                 num_local=num_local, exact=exact,
-                                bf16=pre["bf16"], pcr=pre["pcr"])
+                                bf16=pre["bf16"], pcr=pre["pcr"],
+                                reseed_bv=reseed_bv)
 
 
 def _nl_stacked_step(cur: State3D, nxt: State3D, ga: GridArrays3D, dt,

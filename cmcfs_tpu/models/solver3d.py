@@ -121,6 +121,19 @@ class AdiSolver3D:
             tuple(self.cur.u.shape), self.ga, self.backend, num_local,
             getattr(self, "merge_ok", (False, False, False)), self.plan)
 
+    def carried_runner(self, num_local: int):
+        """Static setup for the carried-state loop (adi3d.nl_carried_*), or
+        None when it cannot engage (sharded plan, non-targeted dispatch).
+        Drivers that own the step loop (cli3d ``carried`` flag, bench.py
+        --carried) keep the simulation state stacked in the Z kernel layout
+        ACROSS steps — bitwise equal to the per-step path for static-
+        boundary grids (tests/test_carried.py), −7.3%/step on silicon
+        (bench_logs/probe_carried_r4.log)."""
+        if self.plan is not None:
+            return None
+        return adi3d.nl_carried_pre(self.ga, self.backend, num_local,
+                                    self.merge_ok)
+
     def update_boundaries(self) -> None:
         # reference also re-seeds next's BOUND/VALVE cells (Solver3D.cpp:28-34)
         self.cur = update_boundaries(self.cur, self.ga)

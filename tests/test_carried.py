@@ -49,6 +49,56 @@ def test_carried_matches_step_api_bitwise():
         assert (np.asarray(o) == np.asarray(r)).all()
 
 
+def test_carried_matches_cli_sequence_bitwise():
+    """cli3d's ``carried`` flag replaces the per-step sequence
+    (UpdateBoundaries on cur AND next, then TimeStep with in-jit
+    divergence error) by carried steps with reseed_bv=True (the
+    UpdateBoundaries done in-layout — FREE-BC rows overwrite boundary
+    cells with mirror values each step, so the re-seed is NOT a no-op)
+    and the error evaluated on nl_carried_end at events.  FIELDS must
+    match the default loop bitwise; the divergence METRIC is a full-grid
+    f32 sum whose reduction order depends on the fusion context (in-step
+    jit vs standalone jit), so it matches to reduction-order tolerance
+    only (~1e-5 relative observed)."""
+    from cmcfs_tpu.models.common3d import update_boundaries
+    from cmcfs_tpu.ops import stencil
+
+    adi3d, ga, cur, pa, merge_ok = _setup()
+    if not all(merge_ok):
+        pytest.skip("fixture has a non-foldable axis")
+    dt = jnp.float32(0.01)
+
+    state, nxt = cur, cur
+    errs = []
+    for _ in range(3):
+        state = update_boundaries(state, ga)
+        nxt = update_boundaries(nxt, ga)
+        new, err = adi3d.adi_timestep_3d(state, nxt, ga, dt, 2, 2, pa,
+                                         backend="fused_nl", exact=True,
+                                         compute_error=True,
+                                         merge_ok=merge_ok)
+        state, nxt = new, state
+        errs.append(float(err))
+
+    pre = adi3d.nl_carried_pre(ga, "fused_nl", 2, merge_ok)
+    assert pre is not None
+    c0 = update_boundaries(cur, ga)
+    curZ, prevZ = adi3d.nl_carried_begin(c0, c0)
+    errs_c = []
+    for _ in range(3):
+        nxtZ = adi3d.nl_carried_step(curZ, prevZ, pre, dt, pa, 2, 2,
+                                     exact=True, reseed_bv=True)
+        curZ, prevZ = nxtZ, curZ
+        cc = adi3d.nl_carried_end(curZ)
+        errs_c.append(float(stencil.div_error_3d(cc.u, cc.v, cc.w,
+                                                 ga.types, pa.dx, pa.dy,
+                                                 pa.dz)))
+    out = adi3d.nl_carried_end(curZ)
+    for r, o in zip(state, out):
+        assert (np.asarray(o) == np.asarray(r)).all()
+    np.testing.assert_allclose(errs, errs_c, rtol=5e-4, atol=0.0)
+
+
 def test_carried_pre_refuses_non_targeted_dispatch():
     """nl_carried_pre must return None whenever the targeted stacked step
     would not engage (the carried loop has no fallback of its own)."""
