@@ -297,6 +297,12 @@ def run_case(input_path: str, output_base: str, config_path: str,
         if max_steps is not None and nsteps >= max_steps:
             break
 
+    if _cz is not None:
+        # leave the returned solver in canonical state regardless of
+        # whether the final step coincided with an output event
+        from .models import adi3d
+        solver.cur = adi3d.nl_carried_end(_cz[0])
+        solver.next = adi3d.nl_carried_end(_cz[1])
     if _ck_pending is not None:
         _ck_pending.wait_until_finished()
     if not quiet:
