@@ -21,20 +21,24 @@ def test_cli3d_carried_output_byte_identical(tmp_path):
     from cmcfs_tpu.cli3d import run_case
     from scripts.gen_box_case import gen
 
-    data, cfg = gen(str(tmp_path / "case"), dx=0.0327, time_steps=4,
+    # dx=0.0164 -> 65^3 is the SMALLEST rasterized box where the carried
+    # dispatch engages: below it the shell raster leaves interior rows
+    # that are not NODE_IN on X/Y (merge_ok False), and nl_carried_pre
+    # correctly refuses.  ~2 interpreter-mode cli steps per arm.
+    data, cfg = gen(str(tmp_path / "case"), dx=0.0164, time_steps=4,
                     num_global=2, num_local=2)
-    # output every 2 steps so a record lands mid-run (i=0 and i=2),
+    # output every step so a record lands mid-run (i=0 and i=1),
     # covering the carried loop's event-point materialization
     with open(cfg) as f:
         txt = f.read()
     with open(cfg, "w") as f:
         f.write(txt.replace("out_time_steps \t1000000",
-                            "out_time_steps \t2"))
+                            "out_time_steps \t1"))
 
     s1, _ = run_case(data, str(tmp_path / "dflt"), cfg, backend="fused_nl",
-                     quiet=True, max_steps=3)
+                     quiet=True, max_steps=2)
     s2, _ = run_case(data, str(tmp_path / "carr"), cfg, backend="fused_nl",
-                     quiet=True, max_steps=3, carried=True)
+                     quiet=True, max_steps=2, carried=True)
     # the engagement predicate run_case used (static — same answer here)
     assert s2.carried_runner(2) is not None, \
         "carried did not engage: this test compared identical programs"
