@@ -260,10 +260,15 @@ def run_case(input_path: str, output_base: str, config_path: str,
 
         if _cz is not None and i % cfg.out_time_steps == 0:
             # materialize (cur, next) for get_layer / checkpoint: next is
-            # the PRE-step layer (the reference GetLayer off-by-one)
+            # the PRE-step layer (the reference GetLayer off-by-one) WITH
+            # this iteration's UpdateBoundaries applied — in the default
+            # loop ub runs before the step and survives the pointer swap,
+            # while the carried prevZ is the raw post-step layer (the
+            # in-step reseed only touches jit temporaries)
             from .models import adi3d
+            from .models.common3d import update_boundaries as _ub
             solver.cur = adi3d.nl_carried_end(_cz[0])
-            solver.next = adi3d.nl_carried_end(_cz[1])
+            solver.next = _ub(adi3d.nl_carried_end(_cz[1]), solver.ga)
         if i % cfg.out_time_steps == 0:
             with prof.section("Output"):
                 u, v, w, T = solver.get_layer(cfg.outdimx, cfg.outdimy, cfg.outdimz)
@@ -299,10 +304,12 @@ def run_case(input_path: str, output_base: str, config_path: str,
 
     if _cz is not None:
         # leave the returned solver in canonical state regardless of
-        # whether the final step coincided with an output event
+        # whether the final step coincided with an output event (next
+        # gets the iteration's ub, as at output events above)
         from .models import adi3d
+        from .models.common3d import update_boundaries as _ub
         solver.cur = adi3d.nl_carried_end(_cz[0])
-        solver.next = adi3d.nl_carried_end(_cz[1])
+        solver.next = _ub(adi3d.nl_carried_end(_cz[1]), solver.ga)
     if _ck_pending is not None:
         _ck_pending.wait_until_finished()
     if not quiet:
