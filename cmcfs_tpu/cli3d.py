@@ -214,7 +214,8 @@ def run_case(input_path: str, output_base: str, config_path: str,
         else:
             from .models import adi3d
             solver.update_boundaries()
-            _cz = adi3d.nl_carried_begin(solver.cur, solver.next)
+            _cz = adi3d.nl_carried_begin(solver.cur, solver.next,
+                                         plan=solver.plan)
 
     while t < finaltime:
         compute_err = (i % 10 == 0) or (t + dt >= finaltime)
@@ -231,7 +232,7 @@ def run_case(input_path: str, output_base: str, config_path: str,
                                              reseed_bv=True)
                 _cz = (nxtZ, _cz[0])
             if compute_err:
-                cc = adi3d.nl_carried_end(_cz[0])
+                cc = adi3d.nl_carried_end(_cz[0], plan=solver.plan)
                 err = float(stencil.div_error_3d(
                     cc.u, cc.v, cc.w, solver.ga.types,
                     solver.pa.dx, solver.pa.dy, solver.pa.dz))
@@ -267,8 +268,9 @@ def run_case(input_path: str, output_base: str, config_path: str,
             # in-step reseed only touches jit temporaries)
             from .models import adi3d
             from .models.common3d import update_boundaries as _ub
-            solver.cur = adi3d.nl_carried_end(_cz[0])
-            solver.next = _ub(adi3d.nl_carried_end(_cz[1]), solver.ga)
+            solver.cur = adi3d.nl_carried_end(_cz[0], plan=solver.plan)
+            solver.next = _ub(adi3d.nl_carried_end(_cz[1], plan=solver.plan),
+                              solver.ga)
         if i % cfg.out_time_steps == 0:
             with prof.section("Output"):
                 u, v, w, T = solver.get_layer(cfg.outdimx, cfg.outdimy, cfg.outdimz)
@@ -308,8 +310,9 @@ def run_case(input_path: str, output_base: str, config_path: str,
         # gets the iteration's ub, as at output events above)
         from .models import adi3d
         from .models.common3d import update_boundaries as _ub
-        solver.cur = adi3d.nl_carried_end(_cz[0])
-        solver.next = _ub(adi3d.nl_carried_end(_cz[1]), solver.ga)
+        solver.cur = adi3d.nl_carried_end(_cz[0], plan=solver.plan)
+        solver.next = _ub(adi3d.nl_carried_end(_cz[1], plan=solver.plan),
+                          solver.ga)
     if _ck_pending is not None:
         _ck_pending.wait_until_finished()
     if not quiet:

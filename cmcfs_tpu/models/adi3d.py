@@ -692,18 +692,37 @@ def _nl_stacked_possible(shape3: tuple, dual_free3: tuple, backend: str,
                for ax in range(3))
 
 
+# step-level pad tile targets (sublanes, lanes, lanes) — module constants
+# so tests can scale them down (128-lane tiles make any CPU-sized fixture
+# trip the growth guard)
+_STEP_TILES = (8, 128, 128)
+
+
 def _step_pad(shape3: tuple, backend: str, plan):
     """adi_timestep_3d's step-level tile padding decision: the fused
     kernels need (x, y, z) padded to (8, 128, 128) multiples; padding once
     per step lets XLA drop every per-call pad/crop copy.  Returns the
-    (px, py, pz) pad amounts or None.  Shared with dispatch_report."""
-    if plan is not None or backend not in ("fused", "fused_dma",
-                                           "fused_full", "fused_bf16",
-                                           "fused_nl", "fused_pcr",
-                                           "fused_pcr_bf16"):
+    (px, py, pz) pad amounts or None.  Shared with dispatch_report.
+
+    Under a 1-D plan (round 5) the pads additionally preserve shard
+    divisibility — x stays evenly split (the set_plan invariant the
+    stacked dispatch needs) and y splits for the targeted/stacked
+    reshard — by padding those axes to lcm(tile, n_shards) multiples.
+    The reference's analog is AlignBy32 + the ``align`` flag, kept
+    precisely so multi-GPU slabs stay aligned (Geometry.h:564-568)."""
+    if backend not in ("fused", "fused_dma",
+                       "fused_full", "fused_bf16",
+                       "fused_nl", "fused_pcr",
+                       "fused_pcr_bf16"):
         return None
     nx, ny, nz = shape3
-    tgt = (-nx % 8, -ny % 128, -nz % 128)
+    tx, ty, tz = _STEP_TILES
+    if plan is not None:
+        import math
+        nsh = plan.mesh.shape[plan.axis]
+        tx = tx * nsh // math.gcd(tx, nsh)
+        ty = ty * nsh // math.gcd(ty, nsh)
+    tgt = (-nx % tx, -ny % ty, -nz % tz)
     grow = ((nx + tgt[0]) * (ny + tgt[1]) * (nz + tgt[2])) / max(
         nx * ny * nz, 1)
     return tgt if any(tgt) and grow <= 1.25 else None
@@ -746,11 +765,11 @@ def dispatch_report(shape3: tuple, ga: GridArrays3D, backend: str,
     bf16 = backend in ("fused_bf16", "fused_pcr_bf16")
     stacked = _nl_stacked_possible(pshape, dual_free, backend, num_local,
                                    merge_ok, plan)
-    targeted = bool(stacked and NL_TARGETED and plan is None
+    targeted = bool(stacked and NL_TARGETED
                     and _nl_targeted_shape_ok(pshape)
                     and _nl_targeted_vmem_ok(
                         pshape, pcr, bf16,
-                        tuple(not d for d in dual_free)))
+                        tuple(not d for d in dual_free), plan))
     dirs = {name: _dir_path(ax, pshape[ax], backend, merge_ok[ax],
                             dual_free[ax], num_local, plan)
             for ax, name in ((0, "X"), (1, "Y"), (2, "Z"))}
@@ -788,7 +807,7 @@ def _nl_targeted_shape_ok(shape3) -> bool:
 
 
 def _nl_targeted_vmem_ok(shape3, pcr: bool, bf16: bool,
-                         dual3=(False, False, False)) -> bool:
+                         dual3=(False, False, False), plan=None) -> bool:
     """True when every targeted-layout final-pair kernel of the stacked
     step fits the Mosaic VMEM grant cap.  The pcr x targeted combination
     exceeds it at 256^3 (~144 MB request vs the 110 MB cap; 127 MB bf16)
@@ -796,8 +815,14 @@ def _nl_targeted_vmem_ok(shape3, pcr: bool, bf16: bool,
     a run that compiles (NOTES_NEXT 0b).  The call table is
     NL_TARGETED_CALLS — the same constant _nl_stacked_step_targeted
     drives its kernels with.  ``dual3``: per-axis dual-endpoint presence
-    (adds the pass-B chain scratch to the estimate)."""
+    (adds the pass-B chain scratch to the estimate).  ``plan`` is
+    accepted for call-site symmetry but does NOT relax the gate: the
+    kernel blocks over its j-dim, so the per-block VMEM request is
+    j-extent-independent and splitting j across shards changes nothing
+    (verified against nl_vmem_request at 256^3 pcr: 144 MB at full AND
+    at split-j local shapes)."""
     from ..ops.pallas_sweep_nl import nl_vmem_request
+    del plan
     for ax in (2, 1, 0):
         perm, op, tp = NL_TARGETED_CALLS[ax]
         s = tuple(shape3[k] for k in perm)
@@ -829,27 +854,124 @@ def _nl_targeted_masks(ga: GridArrays3D) -> dict:
     return masks
 
 
+def _nl_targeted_sharded_call(axis, masks5, scal, exact, pcr, plan):
+    """shard_map wrapper for one targeted-stacked direction under a 1-D
+    plan — the round-5 closure of "the multi-chip path must run the same
+    fast program" (the reference's multi-GPU path runs the identical hot
+    kernels, AdiSolver3D.cu:376-404).  Every targeted kernel layout
+    (L_X=(x,y,z), L_Y=(y,x,z), L_Z=(z,y,x)) puts a sharded grid axis on
+    the kernel j-dim — grid X for the Y direction, grid Y for Z and X —
+    so the SAME 1-plane j-halo ppermute pre-exchange as the plain stacked
+    path serves all three directions, and each targeted output emerges
+    sharded on whichever dim the kernel j lands at (perm.index(1)):
+    X's L_Z writes land exactly where the next Z call wants them
+    (collective-free), Z's L_Y / Y's L_X writes sit one all_to_all from
+    their consumer — the constraint below lets GSPMD insert exactly
+    those reshards (4 per global iteration at the HLO level, vs the
+    plain stacked path's 2 reshard points of <=5 operands — same
+    collective class, zero XLA relayouts)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from ..ops.pallas_sweep_nl import fused_sweep_nl
+    cls, bv, bt, cb, tb = masks5
+    ax = plan.axis
+    nsh = plan.mesh.shape[ax]
+    spec3 = P(None, ax, None)
+    spec4 = P(None, None, ax, None)
+    sh4 = NamedSharding(plan.mesh, spec4)
+    fwd = [(i, i + 1) for i in range(nsh - 1)]
+    bwd = [(i + 1, i) for i in range(nsh - 1)]
+    has_dual = cb is not None
+
+    def ext(arr, dim):
+        # 1-plane j-halo pre-exchange (identical machinery to the plain
+        # stacked path): edge shards get zero planes, which decode to
+        # identity rows / masked-out dissipation neighbors
+        first = jax.lax.slice_in_dim(arr, 0, 1, axis=dim)
+        if nsh == 1:
+            z = jnp.zeros_like(first)
+            return jnp.concatenate([z, arr, z], axis=dim)
+        last = jax.lax.slice_in_dim(arr, arr.shape[dim] - 1,
+                                    arr.shape[dim], axis=dim)
+        lh = jax.lax.ppermute(last, ax, fwd)
+        rh = jax.lax.ppermute(first, ax, bwd)
+        return jnp.concatenate([lh, arr, rh], axis=dim)
+
+    def ospec(p):
+        # the kernel j-dim (dim 1 of the kernel layout) lands at output
+        # dim p.index(1); that is where the shard lives
+        return P(None, *[ax if i == p.index(1) else None for i in range(3)])
+
+    def kcall(t4_, r4_, o4_, ops_, tnp_, gm):
+        db_specs = (spec3, spec3) if has_dual else ()
+
+        @functools.partial(jax.shard_map, mesh=plan.mesh,
+                           in_specs=(spec4, spec3, spec3, spec3, spec4,
+                                     spec4, P(None)) + db_specs,
+                           out_specs=(tuple(ospec(p) for p in ops_),
+                                      ospec(tnp_)),
+                           check_vma=False)
+        def krun(t4s, c3s, bvs, bts, r4s, o4s, scal_, *db):
+            dkw = {}
+            if db:
+                dkw = dict(cls_b=ext(db[0], 1), take_b=ext(db[1], 1))
+            res, t4x = fused_sweep_nl(
+                ext(t4s, 2), ext(c3s, 1), ext(bvs, 1), ext(bts, 1),
+                ext(r4s, 2), ext(o4s, 2), scal_, sweep_axis=0,
+                axis_var=axis, exact=exact, gmerge=gm, pcr=pcr,
+                out_perms=ops_, tn_perm=tnp_, swap_cross=(axis == 2),
+                **dkw)
+
+            def crop(a, p):
+                sl = [slice(None)] * 4
+                sl[1 + p.index(1)] = slice(1, -1)
+                return a[tuple(sl)]
+
+            return (tuple(crop(a, p) for a, p in zip(res, ops_)),
+                    crop(t4x, tnp_))
+
+        # operands arrive either already j-sharded (the collective-free
+        # X->Z handoff) or sharded on the producer's landing dim; the
+        # constraint makes GSPMD insert exactly the needed all_to_all
+        t4c = jax.lax.with_sharding_constraint(t4_, sh4)
+        r4c = jax.lax.with_sharding_constraint(r4_, sh4)
+        o4c = jax.lax.with_sharding_constraint(o4_, sh4)
+        db_args = (cb, tb) if has_dual else ()
+        return krun(t4c, cls, bv, bt, r4c, o4c, scal, *db_args)
+
+    return kcall
+
+
 def _nl_targeted_run_dir(axis, temp4, rhs4, op4, masks, scals,
                          num_local: int, exact: bool, bf16: bool, pcr: bool,
-                         out_perms, tn_perm, gmerge_last: bool):
+                         out_perms, tn_perm, gmerge_last: bool, plan=None):
     """One direction of the targeted stacked step: num_local//2 pair-kernel
     invocations chained through VMEM-layout identity writes; only the
-    FINAL pair writes the targeted (consumer-layout) outputs."""
+    FINAL pair writes the targeted (consumer-layout) outputs.  Under a
+    plan the kernel runs per shard via _nl_targeted_sharded_call."""
     from ..ops.pallas_sweep_nl import fused_sweep_nl, IDP
     f32 = jnp.float32
     cls, bv, bt, cb, tb = masks[axis]
+
+    if plan is None:
+        def kcall(t4_, r4_, o4_, ops_, tnp_, gm):
+            return fused_sweep_nl(
+                t4_, cls, bv, bt, r4_, o4_, scals[axis], sweep_axis=0,
+                axis_var=axis, exact=exact, gmerge=gm, pcr=pcr,
+                out_perms=ops_, tn_perm=tnp_, swap_cross=(axis == 2),
+                cls_b=cb, take_b=tb)
+    else:
+        kcall = _nl_targeted_sharded_call(axis, masks[axis], scals[axis],
+                                          exact, pcr, plan)
     r4 = rhs4.astype(jnp.bfloat16) if bf16 else rhs4
     pairs = num_local // 2
     out4 = op4
     for k in range(pairs):
         last = k == pairs - 1
         o_in = out4.astype(jnp.bfloat16) if bf16 else out4
-        res, tn4 = fused_sweep_nl(
-            temp4, cls, bv, bt, r4, o_in, scals[axis], sweep_axis=0,
-            axis_var=axis, exact=exact, gmerge=gmerge_last and last,
-            pcr=pcr, out_perms=out_perms if last else (IDP,),
-            tn_perm=tn_perm if last else IDP, swap_cross=(axis == 2),
-            cls_b=cb, take_b=tb)
+        res, tn4 = kcall(temp4, r4, o_in,
+                         out_perms if last else (IDP,),
+                         tn_perm if last else IDP,
+                         gmerge_last and last)
         if bf16:
             res = tuple(o.astype(f32) for o in res)
             tn4 = tn4.astype(f32)
@@ -861,7 +983,7 @@ def _nl_targeted_run_dir(axis, temp4, rhs4, op4, masks, scals,
 def _nl_targeted_loop(tempZ, curZ, opZ, half4, masks, scals,
                       num_global: int, num_local: int, exact: bool,
                       bf16: bool, pcr: bool, final_out_perms,
-                      final_tn_perm):
+                      final_tn_perm, plan=None):
     """The targeted stacked global loop (data flow per global iteration,
     TimeStep AdiSolver3D.cpp:335-358):
       Z: temp/rhs/op @ L_Z -> tn @ L_Y (Y temp), out @ L_Y (Y rhs)
@@ -880,7 +1002,8 @@ def _nl_targeted_loop(tempZ, curZ, opZ, half4, masks, scals,
     def rd(axis, t4_, r4_, o4_, out_perms, tn_perm, gmerge_last):
         return _nl_targeted_run_dir(axis, t4_, r4_, o4_, masks, scals,
                                     num_local, exact, bf16, pcr,
-                                    out_perms, tn_perm, gmerge_last)
+                                    out_perms, tn_perm, gmerge_last,
+                                    plan=plan)
 
     nxt_out = None
     for g in range(num_global):
@@ -907,7 +1030,7 @@ def _nl_targeted_loop(tempZ, curZ, opZ, half4, masks, scals,
 def _nl_stacked_step_targeted(cur: State3D, nxt: State3D, ga: GridArrays3D,
                               dt, num_global: int, num_local: int,
                               pa: ParamsArgs3D, exact: bool, bf16: bool,
-                              pcr: bool = False):
+                              pcr: bool = False, plan=None):
     """Stacked-carry step with in-kernel layout-targeted output writes:
     each direction's final pair kernel writes out/tn DIRECTLY in the
     consuming direction's kernel layout (fused_sweep_nl out_perms/tn_perm;
@@ -922,7 +1045,13 @@ def _nl_stacked_step_targeted(cur: State3D, nxt: State3D, ga: GridArrays3D,
     flip puts o2's coordinate (y) on Z's j-dim — the kernel runs
     swap_cross=True with an hj/hl-swapped scal; per-cell math is
     unchanged, so the whole step stays bitwise equal to the plain stacked
-    path (test_backends3d)."""
+    path (test_backends3d).
+
+    ``plan``: each direction runs per shard via _nl_targeted_sharded_call
+    (grid Y padded ONCE per step for the Z/X shard divisibility — padded
+    rows are identity rows, cropped at exit; grid X divisibility is a
+    _nl_stacked_possible precondition).  Bitwise vs the plain sharded
+    stacked step (test_parallel)."""
     PZ = (2, 1, 0)
 
     def t4(a, p):
@@ -930,17 +1059,42 @@ def _nl_stacked_step_targeted(cur: State3D, nxt: State3D, ga: GridArrays3D,
 
     scals = {0: _nl_scal(0, pa, dt), 1: _nl_scal(1, pa, dt),
              2: _nl_scal(2, pa, dt, swap_jl=True)}
-    masks = _nl_targeted_masks(ga)
     cur4 = jnp.stack(tuple(cur))                      # L_X
     nxt4 = jnp.stack(tuple(nxt))                      # L_X
+    ny0 = cur4.shape[2]
+    ga_k = ga
+    if plan is not None:
+        nsh = plan.mesh.shape[plan.axis]
+        pad_y = (-ny0) % nsh
+        if pad_y:
+            p3 = ((0, 0), (0, pad_y), (0, 0))
+            ga_k = ga._replace(
+                cls_a=tuple(jnp.pad(c, p3) for c in ga.cls_a),
+                cls_b=tuple(None if c is None else jnp.pad(c, p3)
+                            for c in ga.cls_b),
+                take_b=tuple(None if c is None else jnp.pad(c, p3)
+                             for c in ga.take_b),
+                bc_vel=jnp.pad(ga.bc_vel, p3),
+                bc_temp=jnp.pad(ga.bc_temp, p3))
+            cur4 = jnp.pad(cur4, ((0, 0),) + p3)
+            nxt4 = jnp.pad(nxt4, ((0, 0),) + p3)
+    masks = _nl_targeted_masks(ga_k)
     n4, nx, ny, nz = cur4.shape
     curZ = t4(cur4, PZ)                               # Z's rhs, constant
     tempZ = curZ                                      # temp == cur, @ L_Z
     opZ = t4(nxt4, PZ)                                # Z's out_prev @ L_Z
     half4 = jnp.zeros((n4, ny, nx, nz), cur4.dtype)   # L_Y
-    return _nl_targeted_loop(tempZ, curZ, opZ, half4, masks, scals,
-                             num_global, num_local, exact, bf16, pcr,
-                             final_out_perms=(IDP3,), final_tn_perm=IDP3)
+    out = _nl_targeted_loop(tempZ, curZ, opZ, half4, masks, scals,
+                            num_global, num_local, exact, bf16, pcr,
+                            final_out_perms=(IDP3,), final_tn_perm=IDP3,
+                            plan=plan)
+    if plan is not None:
+        if ny0 != out.shape[2]:
+            out = out[:, :, :ny0]
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        out = jax.lax.with_sharding_constraint(
+            out, NamedSharding(plan.mesh, P(None, plan.axis, None, None)))
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -965,15 +1119,27 @@ def _nl_stacked_step_targeted(cur: State3D, nxt: State3D, ga: GridArrays3D,
 # ---------------------------------------------------------------------------
 
 def nl_carried_pre(ga: GridArrays3D, backend: str, num_local: int,
-                   merge_ok: tuple, dtype=jnp.float32):
+                   merge_ok: tuple, dtype=jnp.float32, plan=None):
     """Static setup for the carried-state loop, or None when it cannot
     engage (it requires exactly the targeted stacked dispatch, with no
-    step padding and no sharding plan).  Returns a dict holding the
-    pre-permuted mask bundles (_nl_targeted_masks, built ONCE), the
-    L_Z-layout BOUND|VALVE re-seed mask, and the static mode flags."""
+    step padding).  Returns a dict holding the pre-permuted mask bundles
+    (_nl_targeted_masks, built ONCE), the L_Z-layout BOUND|VALVE re-seed
+    mask, and the static mode flags.
+
+    ``plan`` (round 5): the carried loop runs SHARDED — each direction's
+    kernels run per shard via _nl_targeted_sharded_call, the carried
+    (curZ, prevZ) arrays live sharded on grid Y (the Z/X kernels' j-dim)
+    across steps, and the X direction's final L_Z write lands exactly on
+    that sharding (collective-free across steps) — the reference keeps
+    state device-resident across TimeSteps in its multi-GPU path likewise
+    (FluidSolver3D.cpp:226-262).  Grid Y must split evenly: a per-step
+    y-pad cannot be carried across steps, so non-divisible grids degrade
+    to the per-step loop (callers warn — solver3d.carried_runner)."""
     shape3 = tuple(ga.types.shape)
-    rep = dispatch_report(shape3, ga, backend, num_local, merge_ok, None)
+    rep = dispatch_report(shape3, ga, backend, num_local, merge_ok, plan)
     if not rep["targeted"] or rep["pad"] is not None:
+        return None
+    if plan is not None and shape3[1] % plan.mesh.shape[plan.axis]:
         return None
     is_bv = (ga.types == NodeType.BOUND) | (ga.types == NodeType.VALVE)
     PZ4 = (0, 3, 2, 1)
@@ -981,34 +1147,54 @@ def nl_carried_pre(ga: GridArrays3D, backend: str, num_local: int,
                                      ga.val_T)), PZ4)
     return dict(masks=_nl_targeted_masks(ga),
                 is_bvZ=jnp.transpose(is_bv, (2, 1, 0)), val4Z=val4Z,
-                bf16=rep["bf16"], pcr=rep["pcr"], backend=rep["backend"])
+                bf16=rep["bf16"], pcr=rep["pcr"], backend=rep["backend"],
+                plan=plan)
 
 
-@jax.jit
-def nl_carried_begin(cur: State3D, nxt_prev: State3D):
-    """Enter the carried representation: (curZ, prevZ) stacked @ L_Z."""
+def _carried_sharding(plan):
+    """The carried 4-array (n4, z, y, x) lives sharded on grid Y (dim 2):
+    the Z and X kernels' j-dim sharding in the L_Z layout."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    return NamedSharding(plan.mesh, P(None, None, plan.axis, None))
+
+
+@functools.partial(jax.jit, static_argnames=("plan",))
+def nl_carried_begin(cur: State3D, nxt_prev: State3D, plan=None):
+    """Enter the carried representation: (curZ, prevZ) stacked @ L_Z
+    (sharded on grid Y under a plan)."""
     PZ4 = (0, 3, 2, 1)
-    return (jnp.transpose(jnp.stack(tuple(cur)), PZ4),
-            jnp.transpose(jnp.stack(tuple(nxt_prev)), PZ4))
+    cz = jnp.transpose(jnp.stack(tuple(cur)), PZ4)
+    pz = jnp.transpose(jnp.stack(tuple(nxt_prev)), PZ4)
+    if plan is not None:
+        sh = _carried_sharding(plan)
+        cz = jax.lax.with_sharding_constraint(cz, sh)
+        pz = jax.lax.with_sharding_constraint(pz, sh)
+    return cz, pz
 
 
-@jax.jit
-def nl_carried_end(stateZ) -> State3D:
-    """Leave the carried representation: canonical-layout State3D.
+@functools.partial(jax.jit, static_argnames=("plan",))
+def nl_carried_end(stateZ, plan=None) -> State3D:
+    """Leave the carried representation: canonical-layout State3D (grid-X
+    sharded under a plan — the solver's state sharding).
     A separate jit from any consumer reduction so e.g. a checksum
     reduces over the SAME canonical layout as the step-API path
     (bitwise-comparable sums)."""
     s4 = jnp.transpose(stateZ, (0, 3, 2, 1))
+    if plan is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        s4 = jax.lax.with_sharding_constraint(
+            s4, NamedSharding(plan.mesh, P(None, plan.axis, None, None)))
     return State3D(s4[0], s4[1], s4[2], s4[3])
 
 
 @functools.partial(jax.jit, static_argnames=("num_global", "num_local",
                                              "exact", "bf16", "pcr",
-                                             "reseed_bv"))
+                                             "reseed_bv", "plan"))
 def _nl_carried_step_jit(curZ, prevZ, masks, is_bvZ, val4Z,
                          dt, pa: ParamsArgs3D,
                          num_global: int, num_local: int, exact: bool,
-                         bf16: bool, pcr: bool, reseed_bv: bool):
+                         bf16: bool, pcr: bool, reseed_bv: bool,
+                         plan=None):
     n4, nz, ny, nx = curZ.shape
     if reseed_bv:
         # the cli3d loop's per-step UpdateBoundaries (grid values imposed
@@ -1028,7 +1214,7 @@ def _nl_carried_step_jit(curZ, prevZ, masks, is_bvZ, val4Z,
     return _nl_targeted_loop(curZ, curZ, opZ, half4, masks, scals,
                              num_global, num_local, exact, bf16, pcr,
                              final_out_perms=((2, 1, 0),),
-                             final_tn_perm=IDP3)
+                             final_tn_perm=IDP3, plan=plan)
 
 
 def nl_carried_step(curZ, prevZ, pre: dict, dt, pa: ParamsArgs3D,
@@ -1045,7 +1231,8 @@ def nl_carried_step(curZ, prevZ, pre: dict, dt, pa: ParamsArgs3D,
                                 pre["val4Z"], dt, pa, num_global=num_global,
                                 num_local=num_local, exact=exact,
                                 bf16=pre["bf16"], pcr=pre["pcr"],
-                                reseed_bv=reseed_bv)
+                                reseed_bv=reseed_bv,
+                                plan=pre.get("plan"))
 
 
 def _nl_stacked_step(cur: State3D, nxt: State3D, ga: GridArrays3D, dt,
@@ -1077,12 +1264,14 @@ def _nl_stacked_step(cur: State3D, nxt: State3D, ga: GridArrays3D, dt,
     test_sharded_nl_stacked_collective_budget pins this).  Per-cell
     kernel operands are bit-identical to the per-direction sharded
     path, so results stay bitwise equal (test_parallel)."""
-    if NL_TARGETED and plan is None:
+    if NL_TARGETED:
         dual3 = tuple(ga.cls_b[ax] is not None for ax in range(3))
         if (_nl_targeted_shape_ok(cur.u.shape)
-                and _nl_targeted_vmem_ok(cur.u.shape, pcr, bf16, dual3)):
+                and _nl_targeted_vmem_ok(cur.u.shape, pcr, bf16, dual3,
+                                         plan)):
             return _nl_stacked_step_targeted(cur, nxt, ga, dt, num_global,
-                                             num_local, pa, exact, bf16, pcr)
+                                             num_local, pa, exact, bf16, pcr,
+                                             plan=plan)
         if _nl_targeted_shape_ok(cur.u.shape):
             # only warn for the VMEM case: shape-misaligned grids are the
             # expected small-grid regime, not a configuration surprise
@@ -1090,7 +1279,8 @@ def _nl_stacked_step(cur: State3D, nxt: State3D, ga: GridArrays3D, dt,
             warnings.warn(
                 "NL_TARGETED degraded to the plain stacked step: the "
                 "targeted kernels' VMEM request exceeds the grant cap at "
-                f"this grid ({cur.u.shape}, pcr={pcr}, bf16={bf16}) — see "
+                f"this grid ({cur.u.shape}, pcr={pcr}, bf16={bf16}, "
+                f"sharded={plan is not None}) — see "
                 "pallas_sweep_nl.nl_vmem_request", stacklevel=2)
     from ..ops.pallas_sweep_nl import fused_sweep_nl
     f32 = jnp.float32
@@ -1483,4 +1673,8 @@ def adi_timestep_3d(cur: State3D, nxt_prev: State3D, ga: GridArrays3D, dt,
     if pad is not None:
         sl = tuple(slice(0, -p) if p else slice(None) for p in pad)
         nxt = State3D(*(f[sl] for f in nxt))
+        if plan is not None:
+            # re-pin the cropped fields to the canonical X-split (the
+            # crop leaves GSPMD an implicit, possibly uneven sharding)
+            nxt = State3D(*(plan.constrain_state(f) for f in nxt))
     return nxt, err

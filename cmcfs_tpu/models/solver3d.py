@@ -123,16 +123,29 @@ class AdiSolver3D:
 
     def carried_runner(self, num_local: int):
         """Static setup for the carried-state loop (adi3d.nl_carried_*), or
-        None when it cannot engage (sharded plan, non-targeted dispatch).
-        Drivers that own the step loop (cli3d ``carried`` flag, bench.py
-        --carried) keep the simulation state stacked in the Z kernel layout
-        ACROSS steps — bitwise equal to the per-step path for static-
-        boundary grids (tests/test_carried.py), −7.3%/step on silicon
-        (bench_logs/probe_carried_r4.log)."""
-        if self.plan is not None:
-            return None
-        return adi3d.nl_carried_pre(self.ga, self.backend, num_local,
-                                    self.merge_ok)
+        None when it cannot engage (non-targeted dispatch; sharded grids
+        whose Y extent doesn't split evenly).  Drivers that own the step
+        loop (cli3d ``carried`` flag, bench.py --carried) keep the
+        simulation state stacked in the Z kernel layout ACROSS steps —
+        bitwise equal to the per-step path for static-boundary grids
+        (tests/test_carried.py), −7.3%/step on silicon
+        (bench_logs/probe_carried_r4.log).  Sharded runs carry the state
+        grid-Y-sharded and run the same per-shard targeted kernels
+        (round 5 — the reference keeps state device-resident across
+        TimeSteps in its multi-GPU path too, FluidSolver3D.cpp:226-262)."""
+        pre = adi3d.nl_carried_pre(self.ga, self.backend, num_local,
+                                   self.merge_ok, plan=self.plan)
+        if pre is None and self.plan is not None:
+            import warnings
+            # mirror the NL_TARGETED VMEM-degrade warning: a sharded run
+            # silently giving up the carried loop cost -7.3% on silicon
+            warnings.warn(
+                "carried-state loop cannot engage on this SHARDED dispatch "
+                f"(grid {tuple(self.ga.types.shape)}, backend "
+                f"{self.backend}, shards "
+                f"{self.plan.mesh.devices.size}) — running the per-step "
+                "loop; see adi3d.nl_carried_pre", stacklevel=2)
+        return pre
 
     def update_boundaries(self) -> None:
         # reference also re-seeds next's BOUND/VALVE cells (Solver3D.cpp:28-34)

@@ -100,6 +100,38 @@ def test_targeted_vmem_degrade_thresholds():
         adi3d.NL_TARGETED = saved
 
 
+def test_dispatch_report_targeted_under_plan():
+    """Round-5 closure of "the multi-chip path must run the fast program"
+    (the reference's multi-GPU path runs the same hot kernels,
+    AdiSolver3D.cu:376-404): under a 1-D sharding plan the dispatch must
+    still take the targeted-layout stacked step.  The VMEM degrade gate
+    applies unchanged — the kernel blocks over its j-dim, so splitting j
+    across shards does NOT shrink the per-block request (pcr x targeted
+    at 256^3 degrades sharded exactly as it does single-chip)."""
+    from cmcfs_tpu.parallel.mesh import make_x_mesh
+    _, ga, mo = _fixture()
+    plan = make_x_mesh(8)
+    saved = adi3d.NL_TARGETED
+    try:
+        adi3d.NL_TARGETED = True
+        rep = adi3d.dispatch_report((32, 32, 32), ga, "fused_nl", 2, mo,
+                                    plan)
+        assert rep["stacked"] and rep["targeted"], rep
+        s = (256, 256, 256)
+        assert not adi3d._nl_targeted_vmem_ok(s, pcr=True, bf16=False)
+        assert not adi3d._nl_targeted_vmem_ok(s, pcr=True, bf16=False,
+                                              plan=plan)
+        rep = adi3d.dispatch_report(s, ga, "fused_pcr", 2,
+                                    (True, True, True), plan)
+        assert rep["stacked"] and not rep["targeted"], rep
+        # the production f32 fused_nl at 256^3 stays targeted sharded
+        rep = adi3d.dispatch_report(s, ga, "fused_nl", 2,
+                                    (True, True, True), plan)
+        assert rep["stacked"] and rep["targeted"], rep
+    finally:
+        adi3d.NL_TARGETED = saved
+
+
 def test_targeted_degrade_warns_and_stays_bitwise(monkeypatch):
     """When the VMEM gate refuses the targeted step, _nl_stacked_step must
     warn and produce the plain stacked step's (bitwise-identical) result."""
