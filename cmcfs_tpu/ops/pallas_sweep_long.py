@@ -2,12 +2,17 @@
 
 The VMEM-resident kernels (pallas_sweep*.py) need the whole line on chip
 and cap out near 256-288 cells.  This kernel processes the sweep in CH-row
-chunks: the forward elimination carries (c', d') across chunk boundaries in
-registers and stages each chunk's (c', d') rows in HBM scratch; the
-backward pass re-streams them in reverse chunk order carrying x.  This is
-the TPU equivalent of the reference's global-memory c,d staging — its CUDA
-kernel always ran this way (interleaved global arrays,
-AdiSolver3D.cu:67-73, 255-306); we only pay it beyond the VMEM cap.
+chunks: the forward elimination carries (c', d') across chunk boundaries
+in registers and keeps each chunk's (c', d') rows in an n_res-deep VMEM
+ring, staging to HBM scratch ONLY the chunks that overflow the ring; the
+backward pass consumes the resident tail directly and re-streams the rest
+in reverse chunk order carrying x.  _pick_chunk co-chooses (CH, n_res) so
+that common long lines (e.g. 2048 at 128-256 lanes) fit entirely resident
+and the 16 B/cell/var staging round-trip vanishes — the round-5 answer to
+the measured per-cell cost growth with line length (RESULTS.md r4).  This
+is the TPU equivalent of the reference's global-memory c,d staging — its
+CUDA kernel always ran this way for EVERY cell (interleaved global
+arrays, AdiSolver3D.cu:67-73, 255-306); we only pay it beyond the ring.
 
 Replaces the two-pass fallback (XLA-materialized a,b,c,d row arrays +
 ops/pallas_tridiag.py): the coefficient build happens in-kernel from the
@@ -24,30 +29,71 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+import os
+
 from .sweep_common import (LANES, S_TILE, build_abc, ceil_to as _ceil_to,
                            decode_pk, make_row_ops, pack_masks)
-# 12 chunk slabs of 8*CH*Cp*4 bytes (everything double-buffered for the
-# cross-chunk DMA pipeline) must sit inside the scoped-VMEM grant
+# chunk slabs of 8*CH*Cp*4 bytes (streams double-buffered, the (c', d')
+# carry ring n_res-deep) must sit inside the scoped-VMEM grant
 VMEM_BUDGET = 48 * 2 ** 20
 VMEM_LIMIT = 64 * 2 ** 20
 
 
-def _pick_chunk(n: int, cp: int, bf16: bool = False) -> int:
-    """Largest 8-multiple chunk that fits VMEM, preferring an even split of
-    ``n`` (ceil(n/m) rows per chunk) so the sweep isn't padded — the old
-    greedy pick padded 384 -> 480 (ch=160).
+def _pick_chunk(n: int, cp: int, bf16: bool = False) -> tuple:
+    """(rows-per-chunk, resident ring depth) minimizing the (c', d') HBM
+    staging within the VMEM budget.
 
-    Slab budget per row (f32-equivalents): f32 mode = 12 (adv 2 + pk 2 +
-    d 2 + c' 2 + d' 2 + x 2); bf16 mode = 13 (d/x slabs halve to 1+1 but
-    the d_f upcast stage adds 1 and the x_bf DMA buffers add 1)."""
-    per_row = S_TILE * cp * 4 * (13 if bf16 else 12)
-    ch_max = max(8, min(n, VMEM_BUDGET // per_row) // 8 * 8)
-    m = -(-n // ch_max)            # number of chunks
-    return _ceil_to(-(-n // m), 8)  # rows per chunk, 8-aligned
+    Round 2 kept the LAST TWO chunks' (c', d') VMEM-resident (they occupy
+    the two buffer parities when the forward pass ends); round 5
+    generalizes that to an R-deep ring chosen jointly with the chunk
+    size: only chunks [0, n_chunks - R) pay the 16 B/cell/var carry
+    round-trip.  This is the structural answer to the measured per-cell
+    cost growth with line length (2D 2048^2 -15%/cell vs 1024^2,
+    RESULTS.md r4; VERDICT r4 weak #4 / next #6): at 2048-long lines the
+    whole carry ring fits (R = n_chunks) and staging VANISHES; very long
+    lines degrade gradually (staged fraction (m-R)/m) instead of paying
+    full staging beyond chunk 2.  The arithmetic per line is a strictly
+    sequential Thomas recurrence either way, so (ch, R) choices are
+    value-identical — only DMA traffic moves.
+
+    Slab budget per chunk-row (f32-equivalents): streams = adv 2 + pk 2 +
+    d 2 + x 2 (f32; bf16: d 1 + x 1 + d_f 2 + x_bf 1) + carry ring 2R.
+    CMCFS_LONG_RESIDENT=0 pins the round-2 behavior (ch by the 12/13-slab
+    formula, R=2) for silicon A/Bs."""
+    u = S_TILE * cp * 4
+    fixed = 9 if bf16 else 8
+    if os.environ.get("CMCFS_LONG_RESIDENT") == "0":
+        per_row = u * (13 if bf16 else 12)
+        ch_max = max(8, min(n, VMEM_BUDGET // per_row) // 8 * 8)
+        m = -(-n // ch_max)
+        return _ceil_to(-(-n // m), 8), 2
+    best = None
+    for m in range(1, max(2, n // 64) + 1):
+        ch = _ceil_to(-(-n // m), 8)
+        if ch < 64 and ch < n:
+            break                         # seams dominate below 64 rows
+        slots = VMEM_BUDGET // (ch * u)
+        r = min(m, (slots - fixed) // 2)
+        if r < (1 if m == 1 else 2):
+            continue                      # ring too shallow to pipeline
+        # cost: staged (c', d') round-trip cells + a 32-row-equivalent
+        # latency allowance per chunk seam (serial DMA waits on the
+        # critical path); favors big chunks unless staging dwarfs seams
+        cost = (m - r) * ch + 32 * m
+        if best is None or (cost, m) < best[0]:
+            best = ((cost, m), (ch, r))
+        if r == m:
+            break                         # staging gone; more seams only
+    if best is None:                      # pathological tiny budget: R=2
+        per_row = u * (fixed + 4)
+        ch = max(8, min(n, VMEM_BUDGET // per_row) // 8 * 8)
+        m = -(-n // ch)
+        return _ceil_to(-(-n // m), 8), 2
+    return best[1]
 
 
 def _make_kernel(n, n_chunks, ch, sweep_axis, exact, nvars=4, t_var=3,
-                 bc2d=False, bf16=False):
+                 bc2d=False, bf16=False, n_res=2):
     row, set_row = make_row_ops(sweep_axis)
 
     def body(scal_ref, adv_hbm, pk_hbm, d_hbm,
@@ -107,32 +153,37 @@ def _make_kernel(n, n_chunks, ch, sweep_axis, exact, nvars=4, t_var=3,
                                       in_sems.at[kp, 2]).wait()
 
             # ------------------------------- forward chunks (pipelined DMA)
-            # chunk k+1's inputs stream in while k eliminates; (c', d') rows
-            # stage out to HBM double-buffered — EXCEPT the last TWO
-            # chunks', which occupy the two buffer parities when the
-            # forward pass ends and stay resident for the backward pass
-            # (n_chunks <= 2 therefore stages nothing at all)
+            # chunk k+1's inputs stream in while k eliminates; (c', d')
+            # rows live in an n_res-deep VMEM ring — only chunks
+            # [0, n_chunks - n_res) stage out to HBM, the LAST n_res
+            # chunks occupy the ring when the forward pass ends and stay
+            # resident for the backward pass (n_chunks <= n_res therefore
+            # stages nothing at all; _pick_chunk co-chooses (ch, n_res)
+            # to make that the common case — round 5)
             zero = jnp.zeros_like(row(adv_c.at[0], 0))
             carry = (zero, zero)
             start_fwd_in(0)
             for k in range(n_chunks):
-                kp = k % 2
+                kin = k % 2
+                kr = k % n_res
                 if k + 1 < n_chunks:
                     start_fwd_in(k + 1)
                 wait_fwd_in(k)
                 if bf16:
-                    d_f[...] = d_c[kp].astype(jnp.float32)
-                if k >= 2:
-                    # staging buffer reuse: the out-DMA from k-2 read it
-                    # (the last chunk also writes cp/dp, so it waits too)
-                    pltpu.make_async_copy(cp_c.at[kp], chunk3(cp_hbm, k - 2),
-                                          st_sems.at[kp, 0]).wait()
-                    pltpu.make_async_copy(dp_c.at[kp], chunk3(dp_hbm, k - 2),
-                                          st_sems.at[kp, 1]).wait()
+                    d_f[...] = d_c[kin].astype(jnp.float32)
+                if k >= n_res:
+                    # ring slot reuse: the out-DMA from k - n_res read it
+                    # (the last staged chunk also writes cp/dp, so waits)
+                    pltpu.make_async_copy(cp_c.at[kr],
+                                          chunk3(cp_hbm, k - n_res),
+                                          st_sems.at[kr, 0]).wait()
+                    pltpu.make_async_copy(dp_c.at[kr],
+                                          chunk3(dp_hbm, k - n_res),
+                                          st_sems.at[kr, 1]).wait()
 
-                def fwd_body(i, carry, k=k, kp=kp):
+                def fwd_body(i, carry, k=k, kin=kin, kr=kr):
                     c_prev, d_prev = carry
-                    a, b, c, d = build(k * ch + i, i, kp)
+                    a, b, c, d = build(k * ch + i, i, kin)
                     denom = b - a * c_prev
                     if exact:
                         c_new = c / denom
@@ -141,8 +192,8 @@ def _make_kernel(n, n_chunks, ch, sweep_axis, exact, nvars=4, t_var=3,
                         r = pl.reciprocal(denom, approx=False)
                         c_new = c * r
                         d_new = (d - d_prev * a) * r
-                    set_row(cp_c.at[kp], i, c_new)
-                    set_row(dp_c.at[kp], i, d_new)
+                    set_row(cp_c.at[kr], i, c_new)
+                    set_row(dp_c.at[kr], i, d_new)
                     return c_new, d_new
 
                 def fwd_chunk(q, carry, _body=fwd_body):
@@ -152,47 +203,52 @@ def _make_kernel(n, n_chunks, ch, sweep_axis, exact, nvars=4, t_var=3,
                     return carry
 
                 carry = jax.lax.fori_loop(0, ch // 8, fwd_chunk, carry)
-                if k < n_chunks - 2:
-                    pltpu.make_async_copy(cp_c.at[kp], chunk3(cp_hbm, k),
-                                          st_sems.at[kp, 0]).start()
-                    pltpu.make_async_copy(dp_c.at[kp], chunk3(dp_hbm, k),
-                                          st_sems.at[kp, 1]).start()
+                if k < n_chunks - n_res:
+                    pltpu.make_async_copy(cp_c.at[kr], chunk3(cp_hbm, k),
+                                          st_sems.at[kr, 0]).start()
+                    pltpu.make_async_copy(dp_c.at[kr], chunk3(dp_hbm, k),
+                                          st_sems.at[kr, 1]).start()
 
+            # backward re-streams ride st_sems (idle once the forward
+            # drains — every staged chunk's out-DMA was waited at
+            # k = staged_k + n_res above) with the same ring slots
             def start_bwd_in(k):
-                kp = k % 2
-                pltpu.make_async_copy(chunk3(cp_hbm, k), cp_c.at[kp],
-                                      in_sems.at[kp, 0]).start()
-                pltpu.make_async_copy(chunk3(dp_hbm, k), dp_c.at[kp],
-                                      in_sems.at[kp, 1]).start()
+                kr = k % n_res
+                pltpu.make_async_copy(chunk3(cp_hbm, k), cp_c.at[kr],
+                                      st_sems.at[kr, 0]).start()
+                pltpu.make_async_copy(chunk3(dp_hbm, k), dp_c.at[kr],
+                                      st_sems.at[kr, 1]).start()
 
             def wait_bwd_in(k):
-                kp = k % 2
-                pltpu.make_async_copy(chunk3(cp_hbm, k), cp_c.at[kp],
-                                      in_sems.at[kp, 0]).wait()
-                pltpu.make_async_copy(chunk3(dp_hbm, k), dp_c.at[kp],
-                                      in_sems.at[kp, 1]).wait()
+                kr = k % n_res
+                pltpu.make_async_copy(chunk3(cp_hbm, k), cp_c.at[kr],
+                                      st_sems.at[kr, 0]).wait()
+                pltpu.make_async_copy(chunk3(dp_hbm, k), dp_c.at[kr],
+                                      st_sems.at[kr, 1]).wait()
 
             # -------------------------------- backward chunks (pipelined)
-            # chunks n-1 and n-2 are consumed from the resident buffers;
-            # earlier chunks re-stream from the HBM staging, prefetched two
-            # iterations ahead (chunk k-2's DMA starts after k's solve — its
-            # target parity (k-2)%2 == k%2 was just freed by that solve)
+            # the last n_res chunks are consumed from the resident ring
+            # (chunk k sits at slot k % n_res — distinct slots); earlier
+            # chunks re-stream from the HBM staging, prefetched n_res
+            # iterations ahead (chunk k - n_res's DMA starts after k's
+            # solve — its target slot was just freed by that solve)
             x_next = zero
             for kq in range(n_chunks):
                 k = n_chunks - 1 - kq
-                kp = k % 2
-                if k <= n_chunks - 3:
+                kx = k % 2
+                kr = k % n_res
+                if k <= n_chunks - 1 - n_res:
                     wait_bwd_in(k)
                 if kq >= 2:
                     # x buffer reuse: the out-DMA from kq-2 used it
-                    pltpu.make_async_copy(x_bf.at[kp] if bf16 else x_c.at[kp],
+                    pltpu.make_async_copy(x_bf.at[kx] if bf16 else x_c.at[kx],
                                           chunk4(x_hbm, v, k + 2),
-                                          x_sems.at[kp]).wait()
+                                          x_sems.at[kx]).wait()
 
-                def bwd_body(q, x_next, kp=kp):
+                def bwd_body(q, x_next, kx=kx, kr=kr):
                     i = ch - 1 - q
-                    x = row(dp_c.at[kp], i) - row(cp_c.at[kp], i) * x_next
-                    set_row(x_c.at[kp], i, x)
+                    x = row(dp_c.at[kr], i) - row(cp_c.at[kr], i) * x_next
+                    set_row(x_c.at[kx], i, x)
                     return x
 
                 def bwd_chunk(qq, x_next, _body=bwd_body):
@@ -203,12 +259,12 @@ def _make_kernel(n, n_chunks, ch, sweep_axis, exact, nvars=4, t_var=3,
 
                 x_next = jax.lax.fori_loop(0, ch // 8, bwd_chunk, x_next)
                 if bf16:
-                    x_bf[kp] = x_c[kp].astype(jnp.bfloat16)
-                pltpu.make_async_copy(x_bf.at[kp] if bf16 else x_c.at[kp],
+                    x_bf[kx] = x_c[kx].astype(jnp.bfloat16)
+                pltpu.make_async_copy(x_bf.at[kx] if bf16 else x_c.at[kx],
                                       chunk4(x_hbm, v, k),
-                                      x_sems.at[kp]).start()
-                if 0 <= k - 2 <= n_chunks - 3:
-                    start_bwd_in(k - 2)
+                                      x_sems.at[kx]).start()
+                if 0 <= k - n_res <= n_chunks - 1 - n_res:
+                    start_bwd_in(k - n_res)
 
             for k in range(min(2, n_chunks)):
                 pltpu.make_async_copy(x_bf.at[k % 2] if bf16 else x_c.at[k % 2],
@@ -251,8 +307,16 @@ def fused_sweep_long(adv, cls, bcv, bct, d4, scal, sweep_axis: int,
     n0 = (Ap, Bp)[sweep_axis]
     # the row loops advance in 8-row groups; a non-multiple chunk would
     # silently skip rows, so round a caller-supplied chunk up
-    ch = (_ceil_to(chunk, 8) if chunk is not None
-          else _pick_chunk(n0, Cp, bf16=(d4.dtype == jnp.bfloat16)))
+    bf16_mode = d4.dtype == jnp.bfloat16
+    if chunk is not None:
+        ch = _ceil_to(chunk, 8)
+        m = -(-n0 // ch)
+        u = S_TILE * Cp * 4
+        slots = VMEM_BUDGET // (ch * u)
+        n_res = min(m, max(1 if m == 1 else 2,
+                           (slots - (9 if bf16_mode else 8)) // 2))
+    else:
+        ch, n_res = _pick_chunk(n0, Cp, bf16=bf16_mode)
     n = _ceil_to(n0, ch)
     if sweep_axis == 0:
         Ap = n
@@ -272,13 +336,13 @@ def fused_sweep_long(adv, cls, bcv, bct, d4, scal, sweep_axis: int,
 
     # bf16 payload storage follows the d4 dtype (d in / x out); the adv and
     # packed-mask chunks, the Thomas recurrence, and the (c', d') carry
-    # staging all stay f32
+    # ring all stay f32
     bf16 = d4.dtype == jnp.bfloat16
     f32 = jnp.float32
-    pay_scratch = [pltpu.VMEM((2,) + slab, d4.dtype),   # d chunks
-                   pltpu.VMEM((2,) + slab, f32),        # c' chunks
-                   pltpu.VMEM((2,) + slab, f32),        # d' chunks
-                   pltpu.VMEM((2,) + slab, f32)]        # x work chunks
+    pay_scratch = [pltpu.VMEM((2,) + slab, d4.dtype),     # d chunks
+                   pltpu.VMEM((n_res,) + slab, f32),      # c' ring
+                   pltpu.VMEM((n_res,) + slab, f32),      # d' ring
+                   pltpu.VMEM((2,) + slab, f32)]          # x work chunks
     if bf16:
         pay_scratch += [pltpu.VMEM(slab, f32),          # d_f upcast stage
                         pltpu.VMEM((2,) + slab, d4.dtype)]  # x_bf DMA bufs
@@ -286,7 +350,7 @@ def fused_sweep_long(adv, cls, bcv, bct, d4, scal, sweep_axis: int,
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     x, _, _ = pl.pallas_call(
         _make_kernel(n, n_chunks, ch, sweep_axis, exact, nvars, t_var, bc2d,
-                     bf16),
+                     bf16, n_res),
         grid=(n_blocks,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   any_spec, any_spec, any_spec],
@@ -300,7 +364,7 @@ def fused_sweep_long(adv, cls, bcv, bct, d4, scal, sweep_axis: int,
             pltpu.VMEM((2,) + slab, f32),         # packed-mask chunks
         ] + pay_scratch + [
             pltpu.SemaphoreType.DMA((2, 3)),      # in_sems [parity, a|p|d]
-            pltpu.SemaphoreType.DMA((2, 2)),      # st_sems [parity, c'|d']
+            pltpu.SemaphoreType.DMA((n_res, 2)),  # st_sems [slot, c'|d']
             pltpu.SemaphoreType.DMA((2,)),        # x_sems [parity]
         ],
         compiler_params=pltpu.CompilerParams(

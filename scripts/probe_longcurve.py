@@ -7,9 +7,11 @@ isolates the kernel (no step glue): one fused_sweep_long call per length
 L in {288, 320, 512, 1024, 2048}, with the batch extent shrunk to hold
 total cells ~constant (so absolute times stay comparable and each point
 runs the same few hundred MB).  Prints ns/cell + the chunk split, then
-the derived staged-fraction model column: cells in chunks [0, n_chunks-2)
-pay the 16 B/cell/var (c', d') round-trip, the last two chunks stay
-VMEM-resident (pallas_sweep_long.py forward-pass comment).
+the derived staged-fraction model column: cells in chunks
+[0, n_chunks - n_res) pay the 16 B/cell/var (c', d') round-trip, the
+last n_res chunks stay VMEM-resident (the round-5 resident-ring
+generalization; CMCFS_LONG_RESIDENT=0 re-runs the curve on the round-2
+two-resident behavior for the A/B).
 
 Run on the TPU: python scripts/probe_longcurve.py [--reps 5]
 """
@@ -60,10 +62,10 @@ def main():
         scal = jnp.asarray([0.05, 0.02, 33.3, 8.0], jnp.float32)
 
         n = ceil_to(ceil_to(L, S_TILE), 8)
-        ch = _pick_chunk(n, ceil_to(C, LANES))
+        ch, n_res = _pick_chunk(n, ceil_to(C, LANES))
         n = ceil_to(n, ch)
         n_chunks = n // ch
-        staged_frac = max(0, n_chunks - 2) / n_chunks
+        staged_frac = max(0, n_chunks - n_res) / n_chunks
 
         x = fused_sweep_long(adv, cls, bcv, bct, d4, scal, sweep_axis=0)
         sync(x[0])                           # compile + settle
@@ -75,7 +77,7 @@ def main():
         ns_cell = dt / cells * 1e9
         rows.append((L, B, ch, n_chunks, staged_frac, dt * 1e3, ns_cell))
         print(f"L={L:5d} batch={B:4d} ch={ch:4d} chunks={n_chunks} "
-              f"staged={staged_frac:.2f} t={dt*1e3:8.2f} ms "
+              f"res={n_res} staged={staged_frac:.2f} t={dt*1e3:8.2f} ms "
               f"ns/cell={ns_cell:7.3f}")
 
     base = rows[0][-1]

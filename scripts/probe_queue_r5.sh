@@ -31,8 +31,18 @@ for attempt in 1 2 3 4 5 6; do
   #    win was logged pre-sharded-carried; confirm nothing regressed)
   [ -s bench_logs/probe_carried_r5.log ] && grep -q "ms/step" bench_logs/probe_carried_r5.log || \
     run_probe probe_carried_r5 python scripts/probe_carried.py --steps 10 --reps 2
+  # 4. long-line cost curve, resident-ring (new default) vs round-2 ring
+  #    (VERDICT #6: the measured curve + the structural fix's A/B)
+  [ -s bench_logs/longcurve_r5.log ] && grep -q "ns/cell" bench_logs/longcurve_r5.log || \
+    run_probe longcurve_r5 python scripts/probe_longcurve.py --reps 5
+  [ -s bench_logs/longcurve_r5_old.log ] && grep -q "ns/cell" bench_logs/longcurve_r5_old.log || \
+    run_probe longcurve_r5_old env CMCFS_LONG_RESIDENT=0 python scripts/probe_longcurve.py --reps 5
+  # 5. 2D 2048^2 re-measure (the r4 −15%/cell case the ring targets)
+  [ -s bench_logs/bench_r5_2d2048.log ] && grep -q '"metric"' bench_logs/bench_r5_2d2048.log || \
+    run_probe bench_r5_2d2048 python bench.py --case 2d2048
   if grep -q '"metric"' bench_logs/bench_r5.log 2>/dev/null && \
-     grep -q '"metric"' bench_logs/bench_r5_2d.log 2>/dev/null; then
+     grep -q '"metric"' bench_logs/bench_r5_2d.log 2>/dev/null && \
+     grep -q "ns/cell" bench_logs/longcurve_r5.log 2>/dev/null; then
     echo "ROUND-5 QUEUE DONE"; exit 0
   fi
 done

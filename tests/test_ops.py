@@ -226,9 +226,15 @@ def test_tridiag_pallas_interpret_matches_scan():
 
 def test_fused_sweep_long_matches_fused():
     """Chunked long-line kernel (ops/pallas_sweep_long.py) == the
-    VMEM-resident kernel bitwise, across chunk counts and both axes."""
+    VMEM-resident kernel bitwise, across chunk counts and both axes,
+    in BOTH residency regimes: the default (the round-5 resident ring
+    holds every chunk — no staging) and a squeezed-VMEM run where the
+    ring falls back to depth 2 and early chunks round-trip through the
+    HBM staging (the only interpreter coverage of the stage-out /
+    re-stream machinery once real budgets keep everything resident)."""
     import jax.numpy as jnp
     from cmcfs_tpu.ops.pallas_sweep import fused_sweep
+    from cmcfs_tpu.ops import pallas_sweep_long
     from cmcfs_tpu.ops.pallas_sweep_long import fused_sweep_long
     from cmcfs_tpu.ops import masks
     from cmcfs_tpu.geom.synthetic import lid_cavity_3d
@@ -241,15 +247,29 @@ def test_fused_sweep_long_matches_fused():
     scal = jnp.asarray([2.0, 1.5, 30.0, 5.0], jnp.float32)
     bcv = jnp.asarray(grid.bc_vel)
     bct = jnp.asarray(grid.bc_temp)
-    for ax in (0, 1):
-        lc = masks.line_class_3d(t, axis=ax)
-        cls = jnp.asarray(lc.cls_a)
-        interior = cls == masks.INTERIOR
-        isbc = (cls == masks.BC0) | (cls == masks.BC1)
-        d4f = jnp.where(interior | isbc, d4, 0.0)
-        ref = np.asarray(fused_sweep(adv, cls, bcv, bct, d4f, scal,
-                                     sweep_axis=ax, exact=True))
-        for chunk in (16, 24):
-            x = fused_sweep_long(adv, cls, bcv, bct, d4f, scal,
-                                 sweep_axis=ax, exact=True, chunk=chunk)
-            np.testing.assert_array_equal(np.asarray(x), ref)
+    saved_budget = pallas_sweep_long.VMEM_BUDGET
+    try:
+        for ax in (0, 1):
+            lc = masks.line_class_3d(t, axis=ax)
+            cls = jnp.asarray(lc.cls_a)
+            interior = cls == masks.INTERIOR
+            isbc = (cls == masks.BC0) | (cls == masks.BC1)
+            d4f = jnp.where(interior | isbc, d4, 0.0)
+            ref = np.asarray(fused_sweep(adv, cls, bcv, bct, d4f, scal,
+                                         sweep_axis=ax, exact=True))
+            # (chunk, budget): None = real budget (all chunks resident;
+            # chunk 48 additionally covers the single-chunk n_res=1 case);
+            # budget 1 squeezes the ring to depth 2 so chunk 16's 3-chunk
+            # split stages its first chunk through HBM
+            for chunk, budget in ((16, None), (24, None), (48, None),
+                                  (16, 1)):
+                pallas_sweep_long.VMEM_BUDGET = (saved_budget
+                                                 if budget is None
+                                                 else budget)
+                fused_sweep_long.clear_cache()   # budget read at trace time
+                x = fused_sweep_long(adv, cls, bcv, bct, d4f, scal,
+                                     sweep_axis=ax, exact=True, chunk=chunk)
+                np.testing.assert_array_equal(np.asarray(x), ref)
+    finally:
+        pallas_sweep_long.VMEM_BUDGET = saved_budget
+        fused_sweep_long.clear_cache()
