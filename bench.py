@@ -108,20 +108,28 @@ def run_bench(size_dx: float = 0.00409, steps: int = 10, warmup: int = 2,
            if carried != "off" else None)
     if carried == "on" and pre is None:
         raise SystemExit(f"--carried on: cannot engage (dispatch {dispatch})")
-    print(f"dispatch: {dispatch} carried={pre is not None}",
+    print(f"dispatch: {dispatch} carried={pre is not None}"
+          + (f" seed_vars={pre['seed_vars']}" if pre is not None else ""),
           file=sys.stderr, flush=True)
 
     if pre is not None:
+        # assume_seeded: ``cur`` had update_boundaries applied above, so
+        # no-FREE channels elide their per-step re-seed and the rest
+        # update in place on the donated prevZ buffer (NL_CARRIED_NOSEED
+        # — bitwise, tests/test_carried; −1.5% silicon,
+        # bench_logs/probe_reseed_r5.log)
         curZ, prevZ = adi3d.nl_carried_begin(cur, cur)
         for _ in range(warmup):
             nxtZ = adi3d.nl_carried_step(curZ, prevZ, pre, dt, pa,
-                                         num_global, num_local, exact=exact)
+                                         num_global, num_local, exact=exact,
+                                         assume_seeded=True)
             curZ, prevZ = nxtZ, curZ
         float(jnp.sum(adi3d.nl_carried_end(curZ)[0]))   # force
         t0 = time.time()
         for _ in range(steps):
             nxtZ = adi3d.nl_carried_step(curZ, prevZ, pre, dt, pa,
-                                         num_global, num_local, exact=exact)
+                                         num_global, num_local, exact=exact,
+                                         assume_seeded=True)
             curZ, prevZ = nxtZ, curZ
         # forces execution + fetch (the one-time exit transpose is
         # deliberately inside the timed window)

@@ -225,11 +225,16 @@ def run_case(input_path: str, output_base: str, config_path: str,
             from .models.solver2d import SolverError
             from .ops import stencil
             with prof.section("TimeStep"):
+                # assume_seeded: update_boundaries ran on both layers
+                # before nl_carried_begin above, so on a no-FREE-bc grid
+                # the per-step re-seed is elided (NL_CARRIED_NOSEED —
+                # bitwise, tests/test_carried)
                 nxtZ = adi3d.nl_carried_step(_cz[0], _cz[1], _cpre,
                                              jnp.float32(dt), solver.pa,
                                              cfg.num_global, cfg.num_local,
                                              exact=solver.exact,
-                                             reseed_bv=True)
+                                             reseed_bv=True,
+                                             assume_seeded=True)
                 _cz = (nxtZ, _cz[0])
             if compute_err:
                 cc = adi3d.nl_carried_end(_cz[0], plan=solver.plan)

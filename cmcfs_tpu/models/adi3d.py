@@ -27,6 +27,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core.types import NodeType, BCtype
 from ..ops import stencil
@@ -68,11 +69,25 @@ NL_STACKED = True
 # Read at trace time.
 NL_TARGETED = True
 
-# Env overrides for the three step-structure flags (CMCFS_NL_XMODE /
-# CMCFS_NL_STACKED / CMCFS_NL_TARGETED, "0"/"1") so gated modes are
-# selectable per run without editing source — tests and A/B probes flip
-# the module attributes directly instead (scripts/_nl_ab.py).
-for _f in ("NL_XMODE", "NL_STACKED", "NL_TARGETED"):
+# Carried-loop boundary-seed elision: the carried step's per-step re-seed
+# (op = where(is_bv, cur-or-val, prev)) is a full-grid XLA pass (read 2
+# fields + write 1) whose output only the step's FIRST Z pair kernel
+# consumes.  On grids with NO FREE boundary condition anywhere on the
+# BOUND/VALVE set, every bv cell's value is step-invariant: Dirichlet
+# boundary rows write exactly d=val (_bc_rows_3d b=1,c=0), and cells the
+# sweeps don't cover are merge-preserved from same-cell inputs — so both
+# where branches hold bit-identical values and the pass is ELIDED
+# (op = prev).  nl_carried_pre detects the condition; tests/test_carried
+# pins multi-step bitwise equality and the FREE-case refusal.  Read at
+# nl_carried_pre time.
+NL_CARRIED_NOSEED = True
+
+# Env overrides for the step-structure flags (CMCFS_NL_XMODE /
+# CMCFS_NL_STACKED / CMCFS_NL_TARGETED / CMCFS_NL_CARRIED_NOSEED,
+# "0"/"1") so gated modes are selectable per run without editing source —
+# tests and A/B probes flip the module attributes directly instead
+# (scripts/_nl_ab.py).
+for _f in ("NL_XMODE", "NL_STACKED", "NL_TARGETED", "NL_CARRIED_NOSEED"):
     _v = os.environ.get("CMCFS_" + _f)
     if _v is not None:
         globals()[_f] = _v.strip().lower() not in ("", "0", "false")
@@ -1142,13 +1157,28 @@ def nl_carried_pre(ga: GridArrays3D, backend: str, num_local: int,
     if plan is not None and shape3[1] % plan.mesh.shape[plan.axis]:
         return None
     is_bv = (ga.types == NodeType.BOUND) | (ga.types == NodeType.VALVE)
+    # seed elision (NL_CARRIED_NOSEED above), PER VARIABLE: a channel's
+    # re-seed is droppable exactly when its bc array has no FREE cell on
+    # the bv set — FREE rows are the only mechanism that rewrites a
+    # boundary cell with a solved (mirror) value each step.  u/v/w ride
+    # bc_vel, T rides bc_temp (the bench box case: bc_vel all-NoSlip,
+    # bc_temp FREE on the walls -> seed_vars == (3,), only T re-seeds).
+    tn = np.asarray(ga.types)
+    bvn = (tn == NodeType.BOUND) | (tn == NodeType.VALVE)
+    free_vel = bool((np.asarray(ga.bc_vel)[bvn] == BCtype.FREE).any())
+    free_tmp = bool((np.asarray(ga.bc_temp)[bvn] == BCtype.FREE).any())
+    seed_vars = (((0, 1, 2) if free_vel else ())
+                 + ((3,) if free_tmp else ()))
+    if not NL_CARRIED_NOSEED:
+        seed_vars = (0, 1, 2, 3)
     PZ4 = (0, 3, 2, 1)
     val4Z = jnp.transpose(jnp.stack((ga.val_u, ga.val_v, ga.val_w,
                                      ga.val_T)), PZ4)
     return dict(masks=_nl_targeted_masks(ga),
                 is_bvZ=jnp.transpose(is_bv, (2, 1, 0)), val4Z=val4Z,
                 bf16=rep["bf16"], pcr=rep["pcr"], backend=rep["backend"],
-                plan=plan)
+                seed_vars=seed_vars,
+                seed_elidable=seed_vars == (), plan=plan)
 
 
 def _carried_sharding(plan):
@@ -1189,14 +1219,38 @@ def nl_carried_end(stateZ, plan=None) -> State3D:
 
 @functools.partial(jax.jit, static_argnames=("num_global", "num_local",
                                              "exact", "bf16", "pcr",
-                                             "reseed_bv", "plan"))
+                                             "reseed_bv", "seed_vars",
+                                             "plan"),
+                   donate_argnames=("prevZ",))
 def _nl_carried_step_jit(curZ, prevZ, masks, is_bvZ, val4Z,
                          dt, pa: ParamsArgs3D,
                          num_global: int, num_local: int, exact: bool,
                          bf16: bool, pcr: bool, reseed_bv: bool,
-                         plan=None):
+                         seed_vars: tuple = (0, 1, 2, 3), plan=None):
+    """``seed_vars``: the variable channels whose per-step re-seed is
+    still REQUIRED — a channel is dropped (NL_CARRIED_NOSEED) only when
+    its bc array has no FREE cell on the bv set AND the caller
+    guaranteed seeded initial layers, making its where() a bitwise no-op
+    (bv values are step-invariant: Dirichlet rows write exactly d=val).
+    ``prevZ`` is DONATED: every caller follows the reference's pointer
+    swap (curZ, prevZ = result, curZ), so the partial re-seed updates
+    the dead buffer's channels in place instead of copying the grid."""
     n4, nz, ny, nx = curZ.shape
-    if reseed_bv:
+    if len(seed_vars) == 0:
+        opZ = prevZ
+    elif len(seed_vars) < n4:
+        # partial elision (e.g. the bench case: bc_vel all-NoSlip but
+        # bc_temp FREE on the walls -> only T re-seeds): in-place
+        # channel updates on the donated prevZ buffer
+        src = val4Z if reseed_bv else curZ
+        opZ = prevZ
+        for v in seed_vars:
+            opZ = opZ.at[v].set(jnp.where(is_bvZ, src[v], prevZ[v]))
+        if reseed_bv:
+            for v in seed_vars:
+                curZ = curZ.at[v].set(jnp.where(is_bvZ, val4Z[v],
+                                                curZ[v]))
+    elif reseed_bv:
         # the cli3d loop's per-step UpdateBoundaries (grid values imposed
         # on BOUND/VALVE cells of BOTH layers, AdiSolver3D.cpp:286-304),
         # done elementwise in L_Z — needed because FREE-BC rows overwrite
@@ -1219,19 +1273,30 @@ def _nl_carried_step_jit(curZ, prevZ, masks, is_bvZ, val4Z,
 
 def nl_carried_step(curZ, prevZ, pre: dict, dt, pa: ParamsArgs3D,
                     num_global: int, num_local: int, exact: bool = True,
-                    reseed_bv: bool = False):
+                    reseed_bv: bool = False, assume_seeded: bool = False):
     """One reference TimeStep (AdiSolver3D.cpp:306-391) on carried L_Z
     state.  Returns the new layer @ L_Z; the caller swaps
     ``curZ, prevZ = result, curZ`` (the reference's cur/next pointer
     swap, FluidSolver3D.cpp run loop).  ``reseed_bv``: also re-impose the
     grid's BOUND/VALVE values on both layers first — the cli3d loop's
     per-step UpdateBoundaries (bench keeps False: its step-API arm has
-    no per-step UpdateBoundaries either)."""
+    no per-step UpdateBoundaries either).  ``assume_seeded``: the caller
+    guarantees BOTH initial layers entered nl_carried_begin with
+    update_boundaries applied (bench/cli do) — combined with the
+    per-variable grid predicate pre["seed_vars"] (channels whose bc has
+    a FREE cell on the bv set) this elides the no-op channels of the
+    per-step re-seed and updates the rest in place on the donated prevZ
+    buffer (NL_CARRIED_NOSEED; multi-step bitwise equality pinned in
+    tests/test_carried)."""
     return _nl_carried_step_jit(curZ, prevZ, pre["masks"], pre["is_bvZ"],
                                 pre["val4Z"], dt, pa, num_global=num_global,
                                 num_local=num_local, exact=exact,
                                 bf16=pre["bf16"], pcr=pre["pcr"],
                                 reseed_bv=reseed_bv,
+                                seed_vars=(pre.get("seed_vars",
+                                                   (0, 1, 2, 3))
+                                           if assume_seeded
+                                           else (0, 1, 2, 3)),
                                 plan=pre.get("plan"))
 
 

@@ -310,11 +310,18 @@ def fused_sweep_long(adv, cls, bcv, bct, d4, scal, sweep_axis: int,
     bf16_mode = d4.dtype == jnp.bfloat16
     if chunk is not None:
         ch = _ceil_to(chunk, 8)
-        m = -(-n0 // ch)
         u = S_TILE * Cp * 4
+        # clamp a caller-supplied chunk so the fixed streams + a minimal
+        # 2-deep (c', d') ring stay inside the scoped-VMEM budget (a
+        # too-big request otherwise OOMs at Mosaic compile time: the
+        # fixed slab count alone is 8-9 chunk-rows)
+        fixed = 9 if bf16_mode else 8
+        cap = max(8, (VMEM_BUDGET // (u * (fixed + 2))) // 8 * 8)
+        ch = min(ch, cap)
+        m = -(-n0 // ch)
         slots = VMEM_BUDGET // (ch * u)
         n_res = min(m, max(1 if m == 1 else 2,
-                           (slots - (9 if bf16_mode else 8)) // 2))
+                           (slots - fixed) // 2))
     else:
         ch, n_res = _pick_chunk(n0, Cp, bf16=bf16_mode)
     n = _ceil_to(n0, ch)

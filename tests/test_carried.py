@@ -191,3 +191,81 @@ def test_carried_pre_refuses_non_targeted_dispatch():
         _w.simplefilter("always")
         assert AdiSolver3D.carried_runner(s, 2) is None
     assert any("SHARDED" in str(w.message) for w in wlist)
+
+
+def test_carried_seed_elision_bitwise_and_refusal():
+    """NL_CARRIED_NOSEED (round 5, VERDICT r4 #7): on a grid with no FREE
+    bc anywhere on the BOUND/VALVE set, and with BOTH initial layers
+    update_boundaries-seeded (what bench.py and cli3d guarantee), every
+    bv cell's value is step-invariant — Dirichlet rows write exactly
+    d=val, uncovered cells are merge-preserved — so the carried step's
+    per-step re-seed where() is a bitwise no-op and is elided
+    (assume_seeded=True + pre["seed_elidable"]).  Pins: (a) multi-step
+    BITWISE equality elided-vs-where for both reseed_bv modes, (b) the
+    predicate refuses on a FREE-bc grid, (c) the kill-switch."""
+    from cmcfs_tpu.models.common3d import update_boundaries
+
+    adi3d, ga, cur, pa, merge_ok = _setup()
+    if not all(merge_ok):
+        pytest.skip("fixture has a non-foldable axis")
+    dt = jnp.float32(0.01)
+    pre = adi3d.nl_carried_pre(ga, "fused_nl", 2, merge_ok)
+    assert pre is not None and pre["seed_elidable"] is True
+
+    c0 = update_boundaries(cur, ga)
+    for reseed in (False, True):
+        outs = []
+        for elide in (True, False):
+            curZ, prevZ = adi3d.nl_carried_begin(c0, c0)
+            for _ in range(3):
+                nxtZ = adi3d.nl_carried_step(curZ, prevZ, pre, dt, pa,
+                                             2, 2, exact=True,
+                                             reseed_bv=reseed,
+                                             assume_seeded=elide)
+                curZ, prevZ = nxtZ, curZ
+            outs.append(adi3d.nl_carried_end(curZ))
+        for a, b in zip(outs[0], outs[1]):
+            assert (np.asarray(a) == np.asarray(b)).all(), \
+                f"seed elision not bitwise (reseed_bv={reseed})"
+
+    # FREE-bc grid (the dual-baffle fixture sets bc_temp=FREE on the
+    # baffle): T must keep its re-seed (FREE rows rewrite boundary cells
+    # with solved mirror values each step) while u/v/w (bc_vel
+    # all-NoSlip) elide — the PARTIAL path, which updates the T channel
+    # in place on the donated prevZ buffer.  Bitwise vs the full where.
+    import __graft_entry__ as g
+    adi3d_, ga_f, cur_f, pa_f = g._setup(32, 19, 21, "scan", baffle=True)
+    is_in = np.asarray(ga_f.types) == NodeType.IN
+    mok = tuple(
+        bool(((np.asarray(ga_f.cls_a[ax]) == INTERIOR) == is_in).all())
+        for ax in range(3))
+    pre_f = adi3d_.nl_carried_pre(ga_f, "fused_nl", 2, mok)
+    if pre_f is not None:
+        assert pre_f["seed_elidable"] is False
+        assert pre_f["seed_vars"] == (3,)
+        c0f = update_boundaries(cur_f, ga_f)
+        for reseed in (False, True):
+            outs = []
+            for elide in (True, False):
+                curZ, prevZ = adi3d_.nl_carried_begin(c0f, c0f)
+                for _ in range(3):
+                    nxtZ = adi3d_.nl_carried_step(curZ, prevZ, pre_f,
+                                                  dt, pa_f, 2, 2,
+                                                  exact=True,
+                                                  reseed_bv=reseed,
+                                                  assume_seeded=elide)
+                    curZ, prevZ = nxtZ, curZ
+                outs.append(adi3d_.nl_carried_end(curZ))
+            for a, b in zip(outs[0], outs[1]):
+                assert (np.asarray(a) == np.asarray(b)).all(), \
+                    f"partial seed elision not bitwise (reseed={reseed})"
+
+    # kill-switch: CMCFS_NL_CARRIED_NOSEED=0 / module flag
+    saved = adi3d.NL_CARRIED_NOSEED
+    try:
+        adi3d.NL_CARRIED_NOSEED = False
+        pre_off = adi3d.nl_carried_pre(ga, "fused_nl", 2, merge_ok)
+    finally:
+        adi3d.NL_CARRIED_NOSEED = saved
+    assert pre_off["seed_elidable"] is False
+    assert pre_off["seed_vars"] == (0, 1, 2, 3)
