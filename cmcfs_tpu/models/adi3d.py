@@ -1217,24 +1217,23 @@ def nl_carried_end(stateZ, plan=None) -> State3D:
     return State3D(s4[0], s4[1], s4[2], s4[3])
 
 
-@functools.partial(jax.jit, static_argnames=("num_global", "num_local",
-                                             "exact", "bf16", "pcr",
-                                             "reseed_bv", "seed_vars",
-                                             "plan"),
-                   donate_argnames=("prevZ",))
-def _nl_carried_step_jit(curZ, prevZ, masks, is_bvZ, val4Z,
-                         dt, pa: ParamsArgs3D,
-                         num_global: int, num_local: int, exact: bool,
-                         bf16: bool, pcr: bool, reseed_bv: bool,
-                         seed_vars: tuple = (0, 1, 2, 3), plan=None):
+def _nl_carried_step_impl(curZ, prevZ, masks, is_bvZ, val4Z,
+                          dt, pa: ParamsArgs3D,
+                          num_global: int, num_local: int, exact: bool,
+                          bf16: bool, pcr: bool, reseed_bv: bool,
+                          seed_vars: tuple = (0, 1, 2, 3), plan=None):
     """``seed_vars``: the variable channels whose per-step re-seed is
     still REQUIRED — a channel is dropped (NL_CARRIED_NOSEED) only when
     its bc array has no FREE cell on the bv set AND the caller
     guaranteed seeded initial layers, making its where() a bitwise no-op
     (bv values are step-invariant: Dirichlet rows write exactly d=val).
-    ``prevZ`` is DONATED: every caller follows the reference's pointer
-    swap (curZ, prevZ = result, curZ), so the partial re-seed updates
-    the dead buffer's channels in place instead of copying the grid."""
+    On TPU ``prevZ`` is DONATED (the jit wrapper below): every caller
+    follows the reference's pointer swap (curZ, prevZ = result, curZ),
+    so the partial re-seed updates the dead buffer's channels in place
+    instead of copying the grid.  The CPU/interpreter wrapper skips the
+    donation: it buys nothing without the TPU memory planner and the
+    aliased-parameter program tickled a flaky XLA:CPU compiler segfault
+    in the full-suite process (2026-08-21)."""
     n4, nz, ny, nx = curZ.shape
     if len(seed_vars) == 0:
         opZ = prevZ
@@ -1269,6 +1268,21 @@ def _nl_carried_step_jit(curZ, prevZ, masks, is_bvZ, val4Z,
                              num_global, num_local, exact, bf16, pcr,
                              final_out_perms=((2, 1, 0),),
                              final_tn_perm=IDP3, plan=plan)
+
+
+_CARRIED_STATICS = ("num_global", "num_local", "exact", "bf16", "pcr",
+                    "reseed_bv", "seed_vars", "plan")
+_nl_carried_step_donate = functools.partial(
+    jax.jit, static_argnames=_CARRIED_STATICS,
+    donate_argnames=("prevZ",))(_nl_carried_step_impl)
+_nl_carried_step_nodonate = functools.partial(
+    jax.jit, static_argnames=_CARRIED_STATICS)(_nl_carried_step_impl)
+
+
+def _nl_carried_step_jit(*args, **kw):
+    if jax.default_backend() == "tpu":
+        return _nl_carried_step_donate(*args, **kw)
+    return _nl_carried_step_nodonate(*args, **kw)
 
 
 def nl_carried_step(curZ, prevZ, pre: dict, dt, pa: ParamsArgs3D,

@@ -269,3 +269,42 @@ def test_carried_seed_elision_bitwise_and_refusal():
         adi3d.NL_CARRIED_NOSEED = saved
     assert pre_off["seed_elidable"] is False
     assert pre_off["seed_vars"] == (0, 1, 2, 3)
+
+
+def test_carried_seed_elision_sharded_bitwise():
+    """The partial/full seed elision under a sharding plan (what
+    ``cli3d shards N carried`` runs): donated in-place channel updates
+    and elided channels must stay BITWISE vs the full where() on the
+    8-device virtual mesh."""
+    from cmcfs_tpu.models.common3d import update_boundaries
+    import __graft_entry__ as g
+    from cmcfs_tpu.models import adi3d
+    from cmcfs_tpu.parallel.mesh import make_x_mesh
+
+    _, ga, cur, pa = g._setup(32, 24, 21, "scan")
+    is_in = np.asarray(ga.types) == NodeType.IN
+    merge_ok = tuple(
+        bool(((np.asarray(ga.cls_a[ax]) == INTERIOR) == is_in).all())
+        for ax in range(3))
+    if not all(merge_ok):
+        pytest.skip("fixture has a non-foldable axis")
+    dt = jnp.float32(0.01)
+    plan = make_x_mesh(8)
+    cur_s = plan.shard_state(cur)
+    ga_s = plan.shard_grid(ga)
+    pre = adi3d.nl_carried_pre(ga_s, "fused_nl", 2, merge_ok, plan=plan)
+    assert pre is not None and pre["seed_elidable"] is True
+
+    c0 = update_boundaries(cur_s, ga_s)
+    outs = []
+    for elide in (True, False):
+        curZ, prevZ = adi3d.nl_carried_begin(c0, c0, plan=plan)
+        for _ in range(3):
+            nxtZ = adi3d.nl_carried_step(curZ, prevZ, pre, dt, pa, 2, 2,
+                                         exact=True, reseed_bv=True,
+                                         assume_seeded=elide)
+            curZ, prevZ = nxtZ, curZ
+        outs.append(adi3d.nl_carried_end(curZ, plan=plan))
+    for a, b in zip(outs[0], outs[1]):
+        assert (np.asarray(a) == np.asarray(b)).all(), \
+            "sharded seed elision not bitwise"
